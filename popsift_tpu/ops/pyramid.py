@@ -1,0 +1,188 @@
+"""Gaussian scale-space pyramid construction in JAX.
+
+TPU-first re-design of the reference pyramid builder
+(/root/reference/src/popsift/s_pyramid_build*.cu). The CUDA version is a
+texture/stream/surface machine; here each octave is a dense
+``f32[L, H, W]`` array and the whole pyramid is one XLA program:
+
+* textures + hardware bilinear   -> explicit resample (gather-free: the
+  upscale is a separable lerp expressed with static slices)
+* per-octave CUDA streams/events -> XLA program order; parallelism comes
+  from batching images, not streams
+* ``__constant__`` filter tables -> trace-time constants baked into HLO
+
+Semantics reproduced exactly (given float32):
+
+* octave-0 level-0 built straight from the input image with the dd[0]
+  filter sampled in *source* space with the sub-pixel shift convention
+  (gauss::normalizedSource::horiz, s_pyramid_build_ra.cu:18-55;
+  shift = 0.5 * 2^upscale for PopSift/VLFeat, s_pyramid_build.cu:109-123),
+  then a vertical pass with inc[0] (s_pyramid_build.cu:546-556).
+* levels 1..L-1 by incremental separable blur with clamped (edge
+  replicated) borders (gauss::absoluteSource::{horiz,vert},
+  s_pyramid_build_aa.cu:17-92).
+* octave o>0 level 0 decimated 2x from level L-3 of the previous octave
+  (get_by_2_pick_every_second, s_pyramid_build.cu:49-71).
+* DoG layers dog[l] = blur[l+1] - blur[l] (make_dog,
+  s_pyramid_build.cu:74-92).
+* the pyramid is stored in 0..255 scale (out*255,
+  s_pyramid_build_ra.cu:54).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiftConfig
+from ..gauss import GaussTables, build_gauss_tables, full_kernel
+
+
+@dataclass(frozen=True)
+class PyramidPlan:
+    """Static shape/filter data for one (config, input size) pair."""
+
+    config: SiftConfig
+    in_h: int
+    in_w: int
+    dims: tuple            # ((h, w), ...) per octave
+    shift0: float          # sub-pixel shift for octave-0 sampling
+
+    # numpy filter banks (trace-time constants)
+    inc_kernels: tuple     # full symmetric kernels per level
+    lvl0_kernel_x: np.ndarray  # dd[0] full kernel (horizontal from input)
+    lvl0_kernel_y: np.ndarray  # inc[0] full kernel (vertical from interm)
+
+
+def build_pyramid_plan(config: SiftConfig, height: int, width: int,
+                       tables: GaussTables | None = None) -> PyramidPlan:
+    if tables is None:
+        tables = build_gauss_tables(config)
+    if config.sift_mode in ("popsift", "vlfeat"):
+        shift0 = 0.5 * (2.0 ** config.upscale_factor)
+    else:
+        shift0 = 0.5
+    inc_kernels = tuple(
+        full_kernel(tables.inc[l], int(tables.inc_span[l]))
+        for l in range(config.total_levels))
+    return PyramidPlan(
+        config=config,
+        in_h=height,
+        in_w=width,
+        dims=tuple(config.octave_dims(width, height)),
+        shift0=shift0,
+        inc_kernels=inc_kernels,
+        lvl0_kernel_x=full_kernel(tables.dd[0], int(tables.dd_span[0])),
+        lvl0_kernel_y=full_kernel(tables.inc[0], int(tables.inc_span[0])),
+    )
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _lerp_rows(img: jnp.ndarray, pos: np.ndarray) -> jnp.ndarray:
+    """Resample axis 0 of ``img`` at (static numpy) positions ``pos`` with
+    clamp-to-edge. Positions are trace-time constants, so this lowers to
+    two static gathers + one fma — no dynamic gather."""
+    n = img.shape[0]
+    p = np.clip(pos, 0.0, n - 1.0)
+    i0 = np.floor(p).astype(np.int32)
+    i1 = np.minimum(i0 + 1, n - 1)
+    f = jnp.asarray((p - i0).astype(np.float32))
+    shape = (-1,) + (1,) * (img.ndim - 1)
+    return img[i0] * (1.0 - f.reshape(shape)) + img[i1] * f.reshape(shape)
+
+
+def _conv1d_valid(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+    """Valid-mode symmetric 1-D convolution along ``axis`` as an explicit
+    shift-and-add stencil.
+
+    Deliberately NOT lax.conv: XLA lowers convolutions through the MXU
+    with bf16 multiplication passes by default, which costs ~3 decimal
+    digits — fatal for DoG thresholding. The shift-add form stays in f32
+    on the VPU, fuses with neighbours, and exploits kernel symmetry
+    (half the multiplies), mirroring the reference's paired-tap loop
+    (s_pyramid_build_aa.cu:35-49)."""
+    klen = kernel.shape[0]
+    span = (klen + 1) // 2           # center + one-sided taps
+    x2 = jnp.moveaxis(x, axis, -1)
+    n = x2.shape[-1]
+    nout = n - klen + 1
+    center = span - 1
+    out = x2[..., center:center + nout] * float(kernel[center])
+    for off in range(1, span):
+        out = out + (x2[..., center - off:center - off + nout]
+                     + x2[..., center + off:center + off + nout]
+                     ) * float(kernel[center + off])
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _sep_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable blur with edge-replication borders (readTex clamp
+    semantics, s_pyramid_build_aa.cu:31-48)."""
+    pad = (kernel.shape[0] - 1) // 2
+    x = jnp.pad(img, ((0, 0), (pad, pad)), mode="edge")
+    x = _conv1d_valid(x, kernel, axis=1)
+    x = jnp.pad(x, ((pad, pad), (0, 0)), mode="edge")
+    x = _conv1d_valid(x, kernel, axis=0)
+    return x
+
+
+def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
+    """Build octave-0 level-0 from the input image.
+
+    Horizontal: resample rows at source positions
+    (x + shift) * (src/dst) - 0.5 for an extended x range, then valid-mode
+    convolve with dd[0] — exactly equivalent to the reference's
+    normalized-coordinate taps spaced one destination pixel apart
+    (s_pyramid_build_ra.cu:37-53), including source-space clamping.
+    Vertical: inc[0] with destination-space clamping
+    (s_pyramid_build.cu:553-556 -> absoluteSource::vert).
+    """
+    oh, ow = plan.dims[0]
+    sh, sw = plan.in_h, plan.in_w
+    img = img_u8.astype(jnp.float32) / 255.0
+
+    kx = plan.lvl0_kernel_x
+    pad = (kx.shape[0] - 1) // 2
+
+    ry = sh / oh
+    rx = sw / ow
+    ys = (np.arange(oh, dtype=np.float64) + plan.shift0) * ry - 0.5
+    xs = (np.arange(-pad, ow + pad, dtype=np.float64) + plan.shift0) * rx - 0.5
+
+    r = _lerp_rows(img, ys)                    # [oh, sw]
+    r = _lerp_rows(r.T, xs).T                  # [oh, ow + 2*pad]
+    out = _conv1d_valid(r, kx, axis=1) * 255.0  # [oh, ow]
+
+    ky = plan.lvl0_kernel_y
+    pady = (ky.shape[0] - 1) // 2
+    out = jnp.pad(out, ((pady, pady), (0, 0)), mode="edge")
+    return _conv1d_valid(out, ky, axis=0)
+
+
+def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan):
+    """Full pyramid. Returns (blurs, dogs): tuples over octaves of
+    f32[L, H, W] and f32[L-1, H, W]."""
+    cfg = plan.config
+    total = cfg.total_levels
+    blurs = []
+    dogs = []
+    prev_ds_level = None
+    for octv, (oh, ow) in enumerate(plan.dims):
+        if octv == 0:
+            lvl0 = _octave0_level0(img_u8, plan)
+        else:
+            lvl0 = prev_ds_level[0::2, 0::2][:oh, :ow]
+        levels = [lvl0]
+        for lvl in range(1, total):
+            levels.append(_sep_blur(levels[-1], plan.inc_kernels[lvl]))
+        blur = jnp.stack(levels)
+        blurs.append(blur)
+        dogs.append(blur[1:] - blur[:-1])
+        prev_ds_level = levels[total - 3]
+    return tuple(blurs), tuple(dogs)
