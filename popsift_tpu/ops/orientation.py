@@ -1,0 +1,136 @@
+"""Keypoint orientation assignment in JAX.
+
+TPU-first redesign of the reference orientation kernel
+(/root/reference/src/popsift/s_orientation.cu:60-242):
+
+* one CUDA block per extremum with shared-memory atomics becomes a
+  batched computation over the capacity-padded extrema buffer: every
+  keypoint scans the same static (2*R_max+1)^2 window with validity
+  masks (radius, image bounds), histogram built by one-hot matmul.
+* the warp bitonic top-peak sort (s_orientation.cu:207-215) becomes
+  ``lax.top_k`` over the 36 refined peak values.
+* VLFeat smoothing (3 iterations of two circular box-3 passes,
+  s_orientation.cu:142-156) is six rolls on the bin axis.
+
+Semantics reproduced: gradient from the keypoint's blur level by
+central differences with clamped reads (s_gradiant.h:55-69), Gaussian
+weight exp(int(d^2) * -0.5/(1.5 sigma)^2) with the reference's integer
+truncation of the squared distance (s_orientation.cu:123-125), bin index
+round(36*(theta+pi)/2pi) mod 36 (s_orientation.cu:128-134), parabolic
+peak refinement and the 0.8*max acceptance rule with at most 4
+orientations ordered by peak value (s_orientation.cu:183-231).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ORI_NBINS, ORI_WINFACTOR, ORIENTATION_MAX_COUNT, SiftConfig
+from .extrema import OctaveExtrema
+
+
+class OctaveOrientations(NamedTuple):
+    ori: jnp.ndarray        # f32[K, 4] angles, descending peak order
+    ori_valid: jnp.ndarray  # bool[K, 4]
+    num_ori: jnp.ndarray    # i32[K]
+
+
+def max_ori_radius(cfg: SiftConfig) -> int:
+    """Static window radius bound: rad = round(3 * 1.5 * sigma_max), where
+    sigma_max corresponds to the verify() bound sn <= maxlevel
+    (s_extrema.cu:286-297)."""
+    sigma_max = cfg.sigma * 2.0 ** ((cfg.total_levels - 1) / cfg.levels)
+    return int(round(3.0 * ORI_WINFACTOR * sigma_max))
+
+
+def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
+                        cfg: SiftConfig) -> OctaveOrientations:
+    """Compute up to 4 orientations for each (padded) extremum."""
+    L, H, W = blur.shape
+    K = ext.x.shape[0]
+    R = max_ori_radius(cfg)
+    win = 2 * R + 1
+
+    xr = jnp.round(ext.x).astype(jnp.int32)   # window center (s_orientation.cu:96-99)
+    yr = jnp.round(ext.y).astype(jnp.int32)
+    sigw = np.float32(ORI_WINFACTOR) * ext.sigma
+    rad = jnp.round(3.0 * sigw).astype(jnp.int32)
+    factor = -0.5 / (sigw * sigw + 1e-30)
+    sq_thres = (rad * rad).astype(jnp.float32)
+
+    offs = jnp.arange(-R, R + 1, dtype=jnp.int32)
+    ox = offs[None, None, :]            # [1, 1, win]
+    oy = offs[None, :, None]            # [1, win, 1]
+    xx = xr[:, None, None] + ox         # [K, win, win]
+    yy = yr[:, None, None] + oy
+
+    inb = ((jnp.abs(ox) <= rad[:, None, None])
+           & (jnp.abs(oy) <= rad[:, None, None])
+           & (xx >= 1) & (xx <= W - 2) & (yy >= 1) & (yy <= H - 2))
+
+    lvl = ext.level[:, None, None]
+
+    def read(xs, ys):
+        return blur[jnp.clip(lvl, 0, L - 1),
+                    jnp.clip(ys, 0, H - 1),
+                    jnp.clip(xs, 0, W - 1)]
+
+    dxv = read(xx + 1, yy) - read(xx - 1, yy)
+    dyv = read(xx, yy + 1) - read(xx, yy - 1)
+    grad = jnp.sqrt(dxv * dxv + dyv * dyv)
+    theta = jnp.arctan2(dyv, dxv)
+
+    fdx = xx.astype(jnp.float32) - ext.x[:, None, None]
+    fdy = yy.astype(jnp.float32) - ext.y[:, None, None]
+    sq = jnp.floor(fdx * fdx + fdy * fdy)   # int truncation, s_orientation.cu:123
+    inb = inb & (sq <= sq_thres[:, None, None])
+
+    weight = jnp.where(inb, grad * jnp.exp(sq * factor[:, None, None]), 0.0)
+
+    bidx = jnp.round(np.float32(ORI_NBINS) * (theta + np.float32(math.pi))
+                     / np.float32(2.0 * math.pi)).astype(jnp.int32)
+    bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
+
+    # histogram via one-hot contraction (VPU/MXU friendly, no scatters)
+    onehot = (bidx[..., None] == jnp.arange(ORI_NBINS)[None, None, None, :])
+    hist = jnp.einsum("kxy,kxyb->kb",
+                      weight.reshape(K, win, win),
+                      onehot.reshape(K, win, win, ORI_NBINS).astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+    # VLFeat smoothing: 3 x (two circular box-3 passes)
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1, axis=1) + hist
+                + jnp.roll(hist, -1, axis=1)) / 3.0
+
+    prev = jnp.roll(hist, 1, axis=1)
+    nxt = jnp.roll(hist, -1, axis=1)
+    peak = hist > jnp.maximum(prev, nxt)
+    num = 3.0 * prev - 4.0 * hist + nxt
+    denB = jnp.where(peak, 2.0 * (prev - 2.0 * hist + nxt), 1.0)
+    newbin = num / denB
+    ok = peak & (newbin >= 0.0) & (newbin <= 2.0)
+    bins = jnp.arange(ORI_NBINS, dtype=jnp.float32)
+    refined = jnp.where(ok, jnp.mod(bins - 1.0, ORI_NBINS) + newbin, -1.0)
+    yval = jnp.where(ok, -(num * num) / (4.0 * denB) + prev, -jnp.inf)
+
+    top_val, top_idx = jax.lax.top_k(yval, ORIENTATION_MAX_COUNT)
+    best = top_val[:, :1]
+    accept = (top_val >= 0.8 * best) & jnp.isfinite(top_val) \
+        & ext.valid[:, None]
+
+    chosen = jnp.take_along_axis(refined, top_idx, axis=1)
+    chosen = jnp.where(chosen >= ORI_NBINS, chosen - ORI_NBINS, chosen)
+    th = (np.float32(2.0 * math.pi) * chosen) / np.float32(ORI_NBINS) \
+        - np.float32(math.pi)
+
+    return OctaveOrientations(
+        ori=jnp.where(accept, th, 0.0),
+        ori_valid=accept,
+        num_ori=jnp.sum(accept, axis=1, dtype=jnp.int32),
+    )
