@@ -1,0 +1,210 @@
+"""Public job-pipeline API.
+
+Mirrors the reference's public surface (PopSift / SiftJob / FeaturesHost,
+/root/reference/src/popsift/popsift.h:40-167, features.h:65-118) on top of
+JAX's asynchronous dispatch:
+
+* the reference's two host threads + sync queues (popsift.cpp:33-37,
+  171-213) exist to overlap upload, GPU work and download; XLA dispatch
+  is already asynchronous, so ``enqueue`` just launches the jitted
+  program and returns a :class:`SiftJob` whose ``get`` blocks on the
+  result — the same future semantics as SiftJob::get
+  (popsift.cpp:300-318).
+* ``configure`` re-plans only when the configuration actually changed
+  (Config equality re-init suppression, sift_conf.cu:285-303) — here the
+  jit cache keyed on the plan provides that for free.
+* lazy ``private_init`` on first job (popsift.cpp:89-120) corresponds to
+  plan construction + first-call compilation per input shape.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from .config import SiftConfig
+from .pipeline import ExtractPlan, SiftFeatures, build_extract_plan, make_extract_fn
+
+
+@dataclass
+class Feature:
+    """One keypoint with its orientations and descriptors
+    (features.h:22-34)."""
+
+    x: float
+    y: float
+    sigma: float
+    octave: int
+    num_ori: int
+    orientations: np.ndarray   # [num_ori]
+    descriptors: np.ndarray    # [num_ori, 128]
+
+    def print(self, stream, write_as_uchar: bool = False):
+        """Reference text format: ``x y 1/s^2 0 1/s^2 d0..d127`` per
+        orientation (Feature::print, features.cu:308-328)."""
+        sigval = 1.0 / (self.sigma * self.sigma)
+        for o in range(self.num_ori):
+            stream.write(f"{self.x} {self.y} {sigval} 0 {sigval} ")
+            d = self.descriptors[o]
+            if write_as_uchar:
+                stream.write(" ".join(str(int(round(v))) for v in d))
+            else:
+                stream.write(" ".join(f"{v:.3g}" for v in d))
+            stream.write(" \n")
+
+
+class FeaturesHost:
+    """Compacted host-side result (FeaturesHost, features.h:65-98)."""
+
+    def __init__(self, raw: SiftFeatures):
+        self._raw = raw
+        kp_valid = np.asarray(raw.valid)
+        d_valid = np.asarray(raw.desc_valid)
+        kp_rows = np.nonzero(kp_valid)[0]
+        # keep only keypoints that have at least one orientation
+        num_ori = np.asarray(raw.num_ori)[kp_rows]
+        kp_rows = kp_rows[num_ori > 0]
+
+        self.x = np.asarray(raw.x)[kp_rows]
+        self.y = np.asarray(raw.y)[kp_rows]
+        self.sigma = np.asarray(raw.sigma)[kp_rows]
+        self.octave = np.asarray(raw.octave)[kp_rows]
+        self.num_ori = np.asarray(raw.num_ori)[kp_rows]
+        self.orientations = np.asarray(raw.ori)[kp_rows]
+        self.ori_valid = np.asarray(raw.ori_valid)[kp_rows]
+
+        d_rows = np.nonzero(d_valid)[0]
+        self.descriptors = np.asarray(raw.desc)[d_rows]
+        # remap the reverse map onto compacted keypoint rows
+        remap = -np.ones(np.asarray(raw.x).shape[0], np.int64)
+        remap[kp_rows] = np.arange(len(kp_rows))
+        self.desc_to_kp = remap[np.asarray(raw.desc_kp)[d_rows]]
+
+    def getFeatureCount(self) -> int:
+        return int(len(self.x))
+
+    def getDescriptorCount(self) -> int:
+        return int(self.descriptors.shape[0])
+
+    def features(self):
+        """Iterate compacted Feature records."""
+        # group descriptors by keypoint, in orientation order
+        by_kp = {}
+        for di, kp in enumerate(self.desc_to_kp):
+            by_kp.setdefault(int(kp), []).append(di)
+        for i in range(len(self.x)):
+            rows = by_kp.get(i, [])
+            n = len(rows)
+            yield Feature(
+                x=float(self.x[i]), y=float(self.y[i]),
+                sigma=float(self.sigma[i]), octave=int(self.octave[i]),
+                num_ori=n,
+                orientations=self.orientations[i][self.ori_valid[i]][:n],
+                descriptors=self.descriptors[rows] if n else
+                np.zeros((0, 128), np.float32))
+
+    def print(self, stream, write_as_uchar: bool = False):
+        for f in self.features():
+            f.print(stream, write_as_uchar)
+
+    def save(self, path: str, write_as_uchar: bool = False):
+        with open(path, "w") as fh:
+            self.print(fh, write_as_uchar)
+
+
+class FeaturesDev:
+    """Device-resident result for matching (FeaturesDev,
+    features.h:100-118): keeps the raw padded device arrays."""
+
+    def __init__(self, raw: SiftFeatures):
+        self.raw = raw
+
+    @property
+    def descriptors(self):
+        return self.raw.desc
+
+    @property
+    def desc_valid(self):
+        return self.raw.desc_valid
+
+    def getFeatureCount(self) -> int:
+        return int(self.raw.n_keypoints)
+
+    def getDescriptorCount(self) -> int:
+        return int(self.raw.n_descriptors)
+
+    def match(self, other: "FeaturesDev"):
+        from .ops.matching import match_descriptors
+        return match_descriptors(self.raw.desc, self.raw.desc_valid,
+                                 other.raw.desc, other.raw.desc_valid)
+
+
+class SiftJob:
+    """Future-based extraction handle (SiftJob, popsift.h:40-71)."""
+
+    def __init__(self, raw: SiftFeatures):
+        self._raw = raw   # async: dispatch already happened
+        self._host = None
+
+    def get(self) -> FeaturesHost:
+        return self.getHost()
+
+    def getHost(self) -> FeaturesHost:
+        if self._host is None:
+            jax.block_until_ready(self._raw)
+            self._host = FeaturesHost(self._raw)
+        return self._host
+
+    def getDev(self) -> FeaturesDev:
+        return FeaturesDev(self._raw)
+
+
+class PopSift:
+    """Extraction pipeline owner (PopSift, popsift.h:73-167).
+
+    mode: "extracting" returns host features from jobs; "matching" keeps
+    results on device (ProcessingMode, sift_conf.h:87-90).
+    """
+
+    def __init__(self, config: SiftConfig | None = None,
+                 mode: str = "extracting"):
+        self._config = config or SiftConfig()
+        self._mode = mode
+        self._plans: dict = {}
+        self._lock = threading.Lock()
+
+    def configure(self, config: SiftConfig, force: bool = False) -> bool:
+        """Adopt a new configuration; drops compiled plans if changed
+        (PopSift::configure, popsift.cpp:63-87)."""
+        if not force and config == self._config:
+            return True
+        self._config = config
+        with self._lock:
+            self._plans.clear()
+        return True
+
+    def _fn_for(self, h: int, w: int):
+        key = (h, w, self._config)
+        with self._lock:
+            if key not in self._plans:
+                plan = build_extract_plan(self._config, h, w)
+                self._plans[key] = make_extract_fn(plan)
+            return self._plans[key]
+
+    def enqueue(self, image: np.ndarray) -> SiftJob:
+        """Submit a grayscale image (uint8 [H, W]); returns immediately
+        with a SiftJob (PopSift::enqueue, popsift.cpp:139-153)."""
+        if image.dtype != np.uint8:
+            raise TypeError("enqueue expects a uint8 grayscale image")
+        if image.ndim != 2:
+            raise ValueError("enqueue expects [H, W]")
+        h, w = image.shape
+        fn = self._fn_for(h, w)
+        return SiftJob(fn(image))
+
+    def uninit(self):
+        with self._lock:
+            self._plans.clear()

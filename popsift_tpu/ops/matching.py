@@ -1,0 +1,112 @@
+"""Brute-force descriptor matching on the MXU.
+
+TPU-first redesign of the reference matcher (FeaturesDev::match,
+/root/reference/src/popsift/features.cu:163-302): the CUDA version runs
+one block per left descriptor looping over all right descriptors with
+warp-shuffle L2 reductions — an O(L*R*128) scalar loop. Here the whole
+distance field is a single f32 matmul,
+
+    d2[i, j] = |l_i|^2 + |r_j|^2 - 2 l_i . r_j
+
+tiled over the right set so the working set stays bounded, with a
+running (best, second-best) reduction — the math the MXU was built for.
+Acceptance is Lowe's ratio test on squared L2 at 0.8
+(features.cu:223).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RATIO = 0.8  # features.cu:223
+
+
+class MatchResult(NamedTuple):
+    best_idx: jnp.ndarray      # i32[L] index into right set
+    second_idx: jnp.ndarray    # i32[L]
+    best_dist: jnp.ndarray     # f32[L] squared L2
+    second_dist: jnp.ndarray   # f32[L]
+    accept: jnp.ndarray        # bool[L] ratio test + validity
+
+
+def match_descriptors(desc_l: jnp.ndarray, valid_l: jnp.ndarray,
+                      desc_r: jnp.ndarray, valid_r: jnp.ndarray,
+                      ratio: float = RATIO,
+                      tile: int = 4096) -> MatchResult:
+    """Mutual best/second-best search with ratio test.
+
+    desc_l: f32[L, 128]; desc_r: f32[R, 128]; validity masks exclude
+    capacity padding. Jit-compatible; R is processed in static tiles.
+    """
+    L = desc_l.shape[0]
+    R = desc_r.shape[0]
+    tile = min(tile, R)
+    ntiles = -(-R // tile)
+    pad = ntiles * tile - R
+
+    dr = jnp.pad(desc_r, ((0, pad), (0, 0)))
+    vr = jnp.pad(valid_r, (0, pad))
+    dr = dr.reshape(ntiles, tile, 128)
+    vr = vr.reshape(ntiles, tile)
+
+    l_sq = jnp.sum(desc_l * desc_l, axis=1, keepdims=True)   # [L, 1]
+
+    inf = jnp.full((L,), jnp.inf, jnp.float32)
+    zero_i = jnp.zeros((L,), jnp.int32)
+    init = (inf, zero_i, inf, zero_i)
+
+    def body(carry, xs):
+        b_d, b_i, s_d, s_i = carry
+        dtile, vtile, base = xs
+        r_sq = jnp.sum(dtile * dtile, axis=1)                # [T]
+        cross = jax.lax.dot_general(
+            desc_l, dtile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [L, T]
+        d2 = l_sq + r_sq[None, :] - 2.0 * cross
+        d2 = jnp.where(vtile[None, :], d2, jnp.inf)
+
+        # best + second within the tile
+        t_best = jnp.min(d2, axis=1)
+        t_bidx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        d2_wo = d2.at[jnp.arange(L), t_bidx].set(jnp.inf)
+        t_sec = jnp.min(d2_wo, axis=1)
+        t_sidx = jnp.argmin(d2_wo, axis=1).astype(jnp.int32)
+        t_bidx = t_bidx + base
+        t_sidx = t_sidx + base
+
+        # merge four candidates into running (best, second)
+        c_d = jnp.stack([b_d, s_d, t_best, t_sec], axis=1)    # [L, 4]
+        c_i = jnp.stack([b_i, s_i, t_bidx, t_sidx], axis=1)
+        order = jnp.argsort(c_d, axis=1)
+        c_d = jnp.take_along_axis(c_d, order, axis=1)
+        c_i = jnp.take_along_axis(c_i, order, axis=1)
+        return (c_d[:, 0], c_i[:, 0], c_d[:, 1], c_i[:, 1]), None
+
+    bases = jnp.arange(ntiles, dtype=jnp.int32) * tile
+    (b_d, b_i, s_d, s_i), _ = jax.lax.scan(body, init, (dr, vr, bases))
+
+    accept = (b_d / jnp.maximum(s_d, 1e-30) < np.float32(ratio)) \
+        & valid_l & jnp.isfinite(b_d) & jnp.isfinite(s_d)
+    return MatchResult(best_idx=b_i, second_idx=s_i,
+                       best_dist=b_d, second_dist=s_d, accept=accept)
+
+
+def match_brute_small(desc_l, valid_l, desc_r, valid_r, ratio=RATIO):
+    """Reference-shaped O(L*R) loop for cross-checking the tiled matcher
+    in tests (mirrors compute_distance, features.cu:184-226)."""
+    d2 = jnp.sum((desc_l[:, None, :] - desc_r[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid_r[None, :], d2, jnp.inf)
+    b_i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    b_d = jnp.min(d2, axis=1)
+    d2w = d2.at[jnp.arange(d2.shape[0]), b_i].set(jnp.inf)
+    s_i = jnp.argmin(d2w, axis=1).astype(jnp.int32)
+    s_d = jnp.min(d2w, axis=1)
+    accept = (b_d / jnp.maximum(s_d, 1e-30) < ratio) & valid_l \
+        & jnp.isfinite(b_d) & jnp.isfinite(s_d)
+    return MatchResult(b_i, s_i, b_d, s_d, accept)

@@ -1,0 +1,181 @@
+"""End-to-end SIFT extraction pipeline.
+
+The TPU counterpart of the reference's stage-2 worker
+(``extractDownloadLoop`` -> Pyramid::step1/step2/get_descriptors,
+/root/reference/src/popsift/popsift.cpp:182-213,
+sift_pyramid.cu:226-321): one jitted XLA program that takes a grayscale
+uint8 image and returns capacity-padded keypoint + descriptor arrays.
+
+Where the reference walks octaves on streams with device/host counter
+round-trips (readDescCountersFromDevice, sift_pyramid.cu:372-375), this
+pipeline keeps all counts as on-device scalars; the octave loop is
+unrolled at trace time (static shapes per octave).
+
+Output layout mirrors FeaturesHost/FeaturesDev (features.h:65-118):
+struct-of-arrays keypoints in *input image* coordinates (prep_features
+scaling 2^(octave - upscale), sift_pyramid.cu:250-261), a flat
+descriptor array, and the descriptor->keypoint reverse map
+(features.h:100-118).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ORIENTATION_MAX_COUNT, SiftConfig
+from .ops.descriptors import (
+    compute_descriptors,
+    make_descriptor_jobs,
+    normalize_descriptors,
+)
+from .ops.extrema import detect_extrema
+from .ops.gridfilter import maybe_grid_filter
+from .ops.orientation import assign_orientations
+from .ops.pyramid import PyramidPlan, build_pyramid, build_pyramid_plan
+
+
+class SiftFeatures(NamedTuple):
+    """Capacity-padded extraction result (device pytree)."""
+
+    # keypoints [K_total]
+    x: jnp.ndarray
+    y: jnp.ndarray
+    sigma: jnp.ndarray
+    octave: jnp.ndarray
+    num_ori: jnp.ndarray
+    valid: jnp.ndarray
+    ori: jnp.ndarray          # [K_total, 4]
+    ori_valid: jnp.ndarray    # [K_total, 4]
+    # descriptors [F_total]
+    desc: jnp.ndarray         # [F_total, 128]
+    desc_kp: jnp.ndarray      # [F_total] -> keypoint row (reverse map)
+    desc_valid: jnp.ndarray   # [F_total]
+    # counts
+    n_keypoints: jnp.ndarray
+    n_descriptors: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class ExtractPlan:
+    """Static plan: shapes, capacities and filters for one (config, size)."""
+
+    config: SiftConfig
+    height: int
+    width: int
+    pyramid: PyramidPlan
+    ext_caps: tuple      # per-octave extrema capacity
+    job_caps: tuple      # per-octave descriptor-job capacity
+
+    @property
+    def total_kp_capacity(self) -> int:
+        return sum(self.ext_caps)
+
+    @property
+    def total_desc_capacity(self) -> int:
+        return sum(self.job_caps)
+
+
+def build_extract_plan(config: SiftConfig, height: int, width: int) -> ExtractPlan:
+    pyr = build_pyramid_plan(config, height, width)
+    ext_caps = []
+    job_caps = []
+    for (oh, ow) in pyr.dims:
+        cap = config.capacity_for_octave(oh, ow)
+        ext_caps.append(cap)
+        # reference sizes the flat orientation list at 1.25x extrema
+        # (sift_constants.cu:31)
+        job_caps.append(cap + cap // 4)
+    return ExtractPlan(config=config, height=height, width=width,
+                       pyramid=pyr, ext_caps=tuple(ext_caps),
+                       job_caps=tuple(job_caps))
+
+
+def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
+            desc_chunk: int = 1024) -> SiftFeatures:
+    """Run the full pipeline on one image. Jit-compatible."""
+    cfg = plan.config
+    blurs, dogs = build_pyramid(img_u8, plan.pyramid)
+
+    kp_fields = {k: [] for k in
+                 ("x", "y", "sigma", "octave", "num_ori", "valid",
+                  "ori", "ori_valid")}
+    desc_fields = {k: [] for k in ("desc", "desc_kp", "desc_valid")}
+
+    # phase 1: detect in every octave (Pyramid::find_extrema)
+    exts = []
+    for octv, ((oh, ow), dog) in enumerate(zip(plan.pyramid.dims, dogs)):
+        exts.append(detect_extrema(dog, cfg, plan.ext_caps[octv], ow, oh))
+
+    # phase 2: global grid-budget filter before the expensive stages
+    # (extrema_filter_grid runs before orientation, s_orientation.cu:353-367)
+    if cfg.filter_max_extrema > 0:
+        cells = jnp.concatenate([e.cell for e in exts])
+        sig_g = jnp.concatenate(
+            [e.sigma * np.float32(2.0 ** (o - cfg.upscale_factor))
+             for o, e in enumerate(exts)])
+        val_g = jnp.concatenate([e.valid for e in exts])
+        new_valid = maybe_grid_filter(cells, sig_g, val_g, cfg)
+        off = 0
+        for octv, e in enumerate(exts):
+            cap = plan.ext_caps[octv]
+            seg = new_valid[off:off + cap]
+            exts[octv] = e._replace(
+                valid=seg, count=jnp.sum(seg, dtype=jnp.int32))
+            off += cap
+
+    # phase 3: orientation + descriptors per octave
+    kp_offset = 0
+    for octv, ((oh, ow), blur, dog) in enumerate(
+            zip(plan.pyramid.dims, blurs, dogs)):
+        cap = plan.ext_caps[octv]
+        ext = exts[octv]
+        oris = assign_orientations(blur, ext, cfg)
+        jobs = make_descriptor_jobs(ext, oris, plan.job_caps[octv])
+        raw = compute_descriptors(blur, jobs, cfg, chunk=desc_chunk)
+        desc = normalize_descriptors(raw, cfg)
+        desc = jnp.where(jobs.valid[:, None], desc, 0.0)
+
+        scale = np.float32(2.0 ** (octv - cfg.upscale_factor))
+        kp_fields["x"].append(ext.x * scale)
+        kp_fields["y"].append(ext.y * scale)
+        kp_fields["sigma"].append(ext.sigma * scale)
+        kp_fields["octave"].append(
+            jnp.full((cap,), octv, jnp.int32))
+        kp_fields["num_ori"].append(oris.num_ori)
+        kp_fields["valid"].append(ext.valid)
+        kp_fields["ori"].append(oris.ori)
+        kp_fields["ori_valid"].append(oris.ori_valid)
+
+        desc_fields["desc"].append(desc)
+        desc_fields["desc_kp"].append(jobs.kp_index + kp_offset)
+        desc_fields["desc_valid"].append(jobs.valid)
+        kp_offset += cap
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    valid = cat(kp_fields["valid"])
+    desc_valid = cat(desc_fields["desc_valid"])
+    return SiftFeatures(
+        x=cat(kp_fields["x"]),
+        y=cat(kp_fields["y"]),
+        sigma=cat(kp_fields["sigma"]),
+        octave=cat(kp_fields["octave"]),
+        num_ori=cat(kp_fields["num_ori"]),
+        valid=valid,
+        ori=cat(kp_fields["ori"]),
+        ori_valid=cat(kp_fields["ori_valid"]),
+        desc=cat(desc_fields["desc"]),
+        desc_kp=cat(desc_fields["desc_kp"]),
+        desc_valid=desc_valid,
+        n_keypoints=jnp.sum(valid, dtype=jnp.int32),
+        n_descriptors=jnp.sum(desc_valid, dtype=jnp.int32),
+    )
+
+
+def make_extract_fn(plan: ExtractPlan, desc_chunk: int = 1024):
+    """Jitted single-image extraction closure."""
+    return jax.jit(lambda img: extract(img, plan, desc_chunk=desc_chunk))

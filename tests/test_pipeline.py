@@ -1,0 +1,93 @@
+"""End-to-end extraction pipeline vs oracle, plus public API tests."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from popsift_tpu.api import PopSift
+from popsift_tpu.config import SiftConfig
+from popsift_tpu.pipeline import build_extract_plan, make_extract_fn
+from popsift_tpu.oracle import oracle_extract
+
+
+def _match_features(host, oracle_feats, pos_tol=5e-3, desc_tol=5e-3):
+    """Greedy 1-1 matching between pipeline and oracle feature sets."""
+    assert host.getFeatureCount() == len(oracle_feats), \
+        f"kp count {host.getFeatureCount()} vs oracle {len(oracle_feats)}"
+    got = list(host.features())
+    used = [False] * len(oracle_feats)
+    for g in got:
+        bi, bd = -1, None
+        for i, o in enumerate(oracle_feats):
+            if used[i]:
+                continue
+            d = abs(g.x - o.x) + abs(g.y - o.y)
+            if bd is None or d < bd:
+                bd, bi = d, i
+        assert bd is not None and bd < pos_tol, f"unmatched keypoint {g.x},{g.y}"
+        used[bi] = True
+        o = oracle_feats[bi]
+        assert abs(g.sigma - o.sigma) < 1e-3
+        assert g.num_ori == len(o.orientations), \
+            f"num_ori {g.num_ori} vs {len(o.orientations)}"
+        for j in range(g.num_ori):
+            dd = np.abs(g.descriptors[j] - o.descriptors[j]).max()
+            assert dd < desc_tol, f"desc err {dd}"
+
+
+@pytest.mark.slow
+def test_pipeline_matches_oracle_end_to_end(small_image):
+    cfg = SiftConfig(octaves=3)
+    ps = PopSift(cfg)
+    job = ps.enqueue(small_image)
+    host = job.get()
+    feats = oracle_extract(small_image, cfg, desc_variant="grid")
+    assert host.getFeatureCount() > 3
+    _match_features(host, feats)
+
+
+def test_pipeline_runs_and_is_jittable(small_image):
+    cfg = SiftConfig(octaves=2)
+    plan = build_extract_plan(cfg, *small_image.shape)
+    fn = make_extract_fn(plan)
+    out = fn(small_image)
+    assert int(out.n_keypoints) > 0
+    assert int(out.n_descriptors) >= int(out.n_keypoints)
+    # second call hits the jit cache
+    out2 = fn(small_image)
+    assert int(out2.n_keypoints) == int(out.n_keypoints)
+
+
+def test_features_text_format(small_image):
+    ps = PopSift(SiftConfig(octaves=2))
+    host = ps.enqueue(small_image).get()
+    buf = io.StringIO()
+    host.print(buf)
+    lines = buf.getvalue().strip().splitlines()
+    assert len(lines) == host.getDescriptorCount()
+    parts = lines[0].split()
+    # x y 1/s^2 0 1/s^2 + 128 descriptor values (features.cu:308-328)
+    assert len(parts) == 5 + 128
+    assert parts[3] == "0"
+    assert abs(float(parts[2]) - float(parts[4])) < 1e-9
+
+
+def test_reverse_map_consistency(small_image):
+    ps = PopSift(SiftConfig(octaves=2))
+    host = ps.enqueue(small_image).get()
+    assert host.desc_to_kp.min() >= 0
+    assert host.desc_to_kp.max() < host.getFeatureCount()
+    counts = np.bincount(host.desc_to_kp, minlength=host.getFeatureCount())
+    assert (counts == host.num_ori).all()
+
+
+def test_grid_filter_budget(small_image):
+    cfg = SiftConfig(octaves=3, filter_max_extrema=4, filter_grid_size=1)
+    ps = PopSift(cfg)
+    host = ps.enqueue(small_image).get()
+    cfg_off = SiftConfig(octaves=3)
+    host_off = PopSift(cfg_off).enqueue(small_image).get()
+    assert host.getFeatureCount() <= 4
+    assert host_off.getFeatureCount() > host.getFeatureCount()
