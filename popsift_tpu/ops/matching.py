@@ -55,8 +55,11 @@ def match_descriptors(desc_l: jnp.ndarray, valid_l: jnp.ndarray,
 
     l_sq = jnp.sum(desc_l * desc_l, axis=1, keepdims=True)   # [L, 1]
 
-    inf = jnp.full((L,), jnp.inf, jnp.float32)
-    zero_i = jnp.zeros((L,), jnp.int32)
+    # derive the init carry from the inputs so its sharding "varying"
+    # status matches the body outputs under shard_map
+    never = valid_l & jnp.logical_not(valid_l)
+    inf = jnp.where(never, 0.0, jnp.inf).astype(jnp.float32)
+    zero_i = never.astype(jnp.int32)
     init = (inf, zero_i, inf, zero_i)
 
     def body(carry, xs):

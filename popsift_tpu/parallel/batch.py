@@ -1,0 +1,63 @@
+"""Data-parallel batched extraction and neighbor matching.
+
+This is the capability the reference cannot offer: it processes one image
+at a time through a 2-stage host pipeline (popsift.cpp:171-213). Here a
+batch of images is sharded over a device mesh (``dp`` axis), every device
+extracts its shard with a vmapped pipeline, and cross-image descriptor
+matching moves descriptors — not images — over ICI with ``ppermute``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import SiftConfig
+from ..pipeline import build_extract_plan, extract
+from ..ops.matching import match_descriptors
+
+
+def make_batched_extract_fn(cfg: SiftConfig, height: int, width: int,
+                            mesh: Mesh, axis_name: str = "dp",
+                            match_pairs: bool = False,
+                            desc_chunk: int = 1024):
+    """Jitted fn: uint8[B, H, W] -> (SiftFeatures batched, ring matches).
+
+    B must be divisible by the mesh size. When ``match_pairs`` is set,
+    image i's descriptors are matched against image (i+1) mod B's (a ring
+    over the batch — the SfM-frontend sequential-pair workload), with the
+    neighbor shard's descriptors fetched over ICI via ppermute.
+    """
+    plan = build_extract_plan(cfg, height, width)
+    n = mesh.shape[axis_name]
+
+    def local_fn(imgs):
+        feats = jax.vmap(lambda im: extract(im, plan,
+                                            desc_chunk=desc_chunk))(imgs)
+        if not match_pairs:
+            return feats, None
+
+        # Ring match: within the local shard, pair i -> i+1; the last
+        # local image pairs with the first image of the next device.
+        perm = [(i, (i - 1) % n) for i in range(n)]  # send to left neighbor
+        first_desc = feats.desc[:1]
+        first_valid = feats.desc_valid[:1]
+        nbr_desc = jax.lax.ppermute(first_desc, axis_name, perm)
+        nbr_valid = jax.lax.ppermute(first_valid, axis_name, perm)
+        right_desc = jnp.concatenate([feats.desc[1:], nbr_desc], axis=0)
+        right_valid = jnp.concatenate([feats.desc_valid[1:], nbr_valid],
+                                      axis=0)
+        res = jax.vmap(partial(match_descriptors, tile=2048))(
+            feats.desc, feats.desc_valid, right_desc, right_valid)
+        return feats, res
+
+    spec = P(axis_name)
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, spec if match_pairs else None))
+    return jax.jit(mapped)

@@ -9,6 +9,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon sitecustomize registers the TPU plugin and pins
+# jax_platforms to "axon,cpu", overriding the env var — force CPU here.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
