@@ -37,6 +37,7 @@ import numpy as np
 from ..config import DESC_BINS, DESC_MAGNIFY, ORIENTATION_MAX_COUNT, SiftConfig
 from .extrema import OctaveExtrema
 from .orientation import OctaveOrientations
+from .patches import extract_patches, pad_for_patches
 
 
 class DescriptorJobs(NamedTuple):
@@ -154,13 +155,122 @@ def _descriptor_grid_chunk(blur: jnp.ndarray, jobs: DescriptorJobs) -> jnp.ndarr
     return jnp.where(zero[:, None], 0.0, desc)
 
 
+def loop_patch_radius(cfg: SiftConfig) -> int:
+    """Static window bound for the loop variant.
+
+    Used pixels satisfy |n|_inf < 1 per tile, tiles offset up to 1.5, so
+    |p - kp|_inf < 2.5*sqrt(2)*SBP (s_desc_loop.cu:58-91). sigma is
+    bounded by the verify() step bound sn < maxlevel - 0.5
+    (d.z < 1.5 and n.z <= maxlevel-2, s_extrema.cu:271-296).
+    """
+    sigma_max = cfg.sigma * 2.0 ** ((cfg.total_levels - 1.5) / cfg.levels)
+    sbp_max = DESC_MAGNIFY * sigma_max
+    return int(math.ceil(2.5 * math.sqrt(2.0) * sbp_max)) + 2
+
+
+def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
+                           radius: int) -> jnp.ndarray:
+    """Dense pixel-scan (loop variant, s_desc_loop.cu:19-138) over one
+    contiguous patch per job: gradient at integer pixels by central
+    differences, global rotated coordinates, per-tile triangular weights
+    folded into 8 per-bin [P^2,4]x[4] matmuls. No scalar gathers."""
+    H, W = orig_hw
+    F = jobs.x.shape[0]
+    P = 2 * radius + 1
+
+    xr = jnp.round(jobs.x).astype(jnp.int32)
+    yr = jnp.round(jobs.y).astype(jnp.int32)
+    patches, y0, x0 = extract_patches(img, jobs.level, yr, xr, radius)
+
+    ii = jnp.arange(P, dtype=jnp.int32)
+    px = x0[:, None, None] + ii[None, None, :]      # [F, P, P] image coords
+    py = y0[:, None, None] + ii[None, :, None]
+
+    # gradient at integer pixels (s_gradiant.h:55-69); border cells of the
+    # patch are outside every valid window, so circular roll is safe
+    dxv = jnp.roll(patches, -1, axis=2) - jnp.roll(patches, 1, axis=2)
+    dyv = jnp.roll(patches, -1, axis=1) - jnp.roll(patches, 1, axis=1)
+    mod = jnp.sqrt(dxv * dxv + dyv * dyv)
+    th = jnp.arctan2(dyv, dxv)
+
+    sbp = jnp.abs(np.float32(DESC_MAGNIFY) * jobs.sigma)
+    inv_sbp = jnp.where(sbp > 0, 1.0 / jnp.where(sbp > 0, sbp, 1.0), 0.0)
+    cos_t = jnp.cos(jobs.ang)
+    sin_t = jnp.sin(jobs.ang)
+    crsbp = (cos_t * inv_sbp)[:, None, None]
+    srsbp = (sin_t * inv_sbp)[:, None, None]
+
+    fdx = px.astype(jnp.float32) - jobs.x[:, None, None]
+    fdy = py.astype(jnp.float32) - jobs.y[:, None, None]
+    nxg = crsbp * fdx + srsbp * fdy                 # global rotated coords
+    nyg = crsbp * fdy - srsbp * fdx
+
+    # scan bounds (xmin/xmax clamp to [1, W-2], s_desc_loop.cu:68-71)
+    inb = (px >= 1) & (px <= W - 2) & (py >= 1) & (py <= H - 2)
+
+    two_pi = np.float32(2.0 * math.pi)
+    tha = th - jobs.ang[:, None, None]
+    tha = jnp.where(tha < 0.0, tha + two_pi, tha)
+    tha = jnp.where(tha >= two_pi, tha - two_pi, tha)
+    tth = tha * np.float32(4.0 / math.pi)
+    fo = jnp.floor(tth).astype(jnp.int32)
+    frac = tth - fo.astype(jnp.float32)
+    fo0 = fo % DESC_BINS
+    fo1 = (fo + 1) % DESC_BINS
+
+    ww = jnp.exp(np.float32(-0.125) * (nxg * nxg + nyg * nyg))
+    wgt = jnp.where(inb, ww * mod, 0.0)             # [F, P, P]
+
+    # per-tile triangular weights from global rotated coords
+    centers = jnp.asarray(np.arange(4, dtype=np.float32) - 1.5)
+    ax = jnp.abs(nxg[..., None] - centers)          # [F, P, P, 4]
+    ay = jnp.abs(nyg[..., None] - centers)
+    wx = jnp.where(ax < 1.0, 1.0 - ax, 0.0).reshape(F, P * P, 4)
+    wy = jnp.where(ay < 1.0, 1.0 - ay, 0.0).reshape(F, P * P, 4)
+
+    wgt_f = wgt.reshape(F, P * P)
+    fo0f = fo0.reshape(F, P * P)
+    fo1f = fo1.reshape(F, P * P)
+    fracf = frac.reshape(F, P * P)
+
+    cols = []
+    for b in range(DESC_BINS):
+        cb = wgt_f * (jnp.where(fo0f == b, 1.0 - fracf, 0.0)
+                      + jnp.where(fo1f == b, fracf, 0.0))   # [F, P^2]
+        # desc_b[ty, tx] = sum_p wy[p,ty] * cb[p] * wx[p,tx]
+        a = jnp.einsum("fpi,fpj->fij", wy * cb[..., None], wx,
+                       preferred_element_type=jnp.float32)  # [F, 4, 4]
+        cols.append(a)
+    desc = jnp.stack(cols, axis=-1)                 # [F, ty, tx, 8]
+    desc = desc.reshape(F, 128)
+    zero = (sbp == 0.0) | ~jobs.valid
+    return jnp.where(zero[:, None], 0.0, desc)
+
+
 def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
                         cfg: SiftConfig, chunk: int = 1024) -> jnp.ndarray:
-    """Unnormalized descriptors f32[F, 128], chunked to bound the
-    [chunk, 40, 40, 8] intermediate in VMEM/HBM."""
+    """Unnormalized descriptors f32[F, 128].
+
+    Variant dispatch (DescMode, sift_conf.h:59-65): "loop"/"iloop" use the
+    dense pixel-scan (reference default, best accuracy); "grid"/"igrid"/
+    "notile" use the fixed 40x40 rotated grid. Evaluation is chunked over
+    jobs to bound the per-chunk intermediates.
+    """
+    if cfg.desc_mode in ("loop", "iloop"):
+        radius = loop_patch_radius(cfg)
+        img = pad_for_patches(blur, 2 * radius + 1)
+        hw = blur.shape[-2:]
+
+        def body_fn(j):
+            return _descriptor_loop_chunk(img, hw, j, radius)
+        chunk = min(chunk, 256)   # loop patches are ~P^2 * 6 floats each
+    else:
+        def body_fn(j):
+            return _descriptor_grid_chunk(blur, j)
+
     F = jobs.x.shape[0]
     if F <= chunk:
-        return _descriptor_grid_chunk(blur, jobs)
+        return body_fn(jobs)
     nchunk = -(-F // chunk)
     pad = nchunk * chunk - F
 
@@ -176,7 +286,7 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
         j = DescriptorJobs(x=x, y=y, sigma=sigma, level=level, ang=ang,
                            kp_index=kp, valid=valid,
                            count=jnp.sum(valid, dtype=jnp.int32))
-        return _descriptor_grid_chunk(blur, j)
+        return body_fn(j)
 
     out = jax.lax.map(body, fields)
     return out.reshape(nchunk * chunk, 128)[:F]

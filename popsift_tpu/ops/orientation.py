@@ -32,6 +32,7 @@ import numpy as np
 
 from ..config import ORI_NBINS, ORI_WINFACTOR, ORIENTATION_MAX_COUNT, SiftConfig
 from .extrema import OctaveExtrema
+from .patches import extract_patches, pad_for_patches
 
 
 class OctaveOrientations(NamedTuple):
@@ -50,40 +51,44 @@ def max_ori_radius(cfg: SiftConfig) -> int:
 
 def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
                         cfg: SiftConfig) -> OctaveOrientations:
-    """Compute up to 4 orientations for each (padded) extremum."""
+    """Compute up to 4 orientations for each (padded) extremum.
+
+    Gradient reads go through one contiguous patch per keypoint
+    (extract_patches) instead of per-pixel gathers; the +1 margin on the
+    patch radius covers the central differences.
+    """
     L, H, W = blur.shape
     K = ext.x.shape[0]
     R = max_ori_radius(cfg)
-    win = 2 * R + 1
+    P = 2 * (R + 1) + 1          # +1 margin for the gradient stencil
+
+    img = pad_for_patches(blur, P)
+    Hp, Wp = img.shape[-2:]
 
     xr = jnp.round(ext.x).astype(jnp.int32)   # window center (s_orientation.cu:96-99)
     yr = jnp.round(ext.y).astype(jnp.int32)
+    patches, y0, x0 = extract_patches(img, ext.level, yr, xr, R + 1)
+
     sigw = np.float32(ORI_WINFACTOR) * ext.sigma
     rad = jnp.round(3.0 * sigw).astype(jnp.int32)
     factor = -0.5 / (sigw * sigw + 1e-30)
     sq_thres = (rad * rad).astype(jnp.float32)
 
-    offs = jnp.arange(-R, R + 1, dtype=jnp.int32)
-    ox = offs[None, None, :]            # [1, 1, win]
-    oy = offs[None, :, None]            # [1, win, 1]
-    xx = xr[:, None, None] + ox         # [K, win, win]
-    yy = yr[:, None, None] + oy
+    # true image coordinates of each patch cell
+    ii = jnp.arange(P, dtype=jnp.int32)
+    xx = x0[:, None, None] + ii[None, None, :]     # [K, P, P]
+    yy = y0[:, None, None] + ii[None, :, None]
 
-    inb = ((jnp.abs(ox) <= rad[:, None, None])
-           & (jnp.abs(oy) <= rad[:, None, None])
-           & (xx >= 1) & (xx <= W - 2) & (yy >= 1) & (yy <= H - 2))
-
-    lvl = ext.level[:, None, None]
-
-    def read(xs, ys):
-        return blur[jnp.clip(lvl, 0, L - 1),
-                    jnp.clip(ys, 0, H - 1),
-                    jnp.clip(xs, 0, W - 1)]
-
-    dxv = read(xx + 1, yy) - read(xx - 1, yy)
-    dyv = read(xx, yy + 1) - read(xx, yy - 1)
+    # gradient by central differences inside the patch (cells on the
+    # patch border are never inside the masked window)
+    dxv = jnp.roll(patches, -1, axis=2) - jnp.roll(patches, 1, axis=2)
+    dyv = jnp.roll(patches, -1, axis=1) - jnp.roll(patches, 1, axis=1)
     grad = jnp.sqrt(dxv * dxv + dyv * dyv)
     theta = jnp.arctan2(dyv, dxv)
+
+    inb = ((jnp.abs(xx - xr[:, None, None]) <= rad[:, None, None])
+           & (jnp.abs(yy - yr[:, None, None]) <= rad[:, None, None])
+           & (xx >= 1) & (xx <= W - 2) & (yy >= 1) & (yy <= H - 2))
 
     fdx = xx.astype(jnp.float32) - ext.x[:, None, None]
     fdy = yy.astype(jnp.float32) - ext.y[:, None, None]
@@ -97,10 +102,11 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
     bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
 
     # histogram via one-hot contraction (VPU/MXU friendly, no scatters)
-    onehot = (bidx[..., None] == jnp.arange(ORI_NBINS)[None, None, None, :])
-    hist = jnp.einsum("kxy,kxyb->kb",
-                      weight.reshape(K, win, win),
-                      onehot.reshape(K, win, win, ORI_NBINS).astype(jnp.float32),
+    onehot = (bidx.reshape(K, P * P)[..., None]
+              == jnp.arange(ORI_NBINS)[None, None, :])
+    hist = jnp.einsum("kp,kpb->kb",
+                      weight.reshape(K, P * P),
+                      onehot.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
 
     # VLFeat smoothing: 3 x (two circular box-3 passes)

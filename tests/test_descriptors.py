@@ -16,11 +16,12 @@ from popsift_tpu.oracle import (
     oracle_extrema,
     oracle_orientations,
     oracle_descriptor_grid,
+    oracle_descriptor_loop,
 )
 from popsift_tpu.oracle.sift_oracle import normalize_descriptor
 
 
-def _collect_jobs(img, cfg, max_jobs=24):
+def _collect_jobs(img, cfg, max_jobs=24, variant="grid"):
     """Oracle extrema + orientations packed as descriptor jobs, together
     with oracle descriptors for each job."""
     blurs, dogs = oracle_pyramid(img, cfg)
@@ -37,7 +38,10 @@ def _collect_jobs(img, cfg, max_jobs=24):
                 sigmas.append(e.sigma)
                 lvls.append(e.level)
                 angs.append(ang)
-                wants.append(oracle_descriptor_grid(blur, e, ang, cfg))
+                if variant == "grid":
+                    wants.append(oracle_descriptor_grid(blur, e, ang, cfg))
+                else:
+                    wants.append(oracle_descriptor_loop(blur, e, ang, cfg))
         if xs:
             per_octave.append((blur, xs, ys, sigmas, lvls, angs, wants))
     return per_octave
@@ -57,7 +61,7 @@ def _jobs_from_lists(xs, ys, sigmas, lvls, angs, cap):
 
 
 def test_descriptors_match_oracle(small_image):
-    cfg = SiftConfig(octaves=2)
+    cfg = SiftConfig(octaves=2, desc_mode="grid")
     per_octave = _collect_jobs(small_image, cfg)
     assert per_octave
     checked = 0
@@ -90,8 +94,29 @@ def test_descriptor_normalization_matches_oracle():
             assert np.abs(got[i] - want).max() < 2e-2 * np.abs(want).max()
 
 
+def test_descriptors_loop_match_oracle(small_image):
+    cfg = SiftConfig(octaves=2, desc_mode="loop")
+    per_octave = _collect_jobs(small_image, cfg, variant="loop")
+    assert per_octave
+    checked = 0
+    for blur, xs, ys, sigmas, lvls, angs, wants in per_octave:
+        cap = len(xs) + 3
+        jobs = _jobs_from_lists(xs, ys, sigmas, lvls, angs, cap)
+        got = jax.jit(lambda b, j: compute_descriptors(b, j, cfg))(
+            jnp.asarray(blur), jobs)
+        got = np.asarray(got)
+        for i, want in enumerate(wants):
+            scale = max(1.0, float(np.abs(want).max()))
+            err = np.abs(got[i] - want).max() / scale
+            assert err < 2e-3, f"loop job {i} desc rel err {err}"
+            checked += 1
+        for i in range(len(wants), cap):
+            assert np.abs(got[i]).max() == 0.0
+    assert checked >= 4
+
+
 def test_chunked_equals_unchunked(small_image):
-    cfg = SiftConfig(octaves=1)
+    cfg = SiftConfig(octaves=1, desc_mode="grid")
     per_octave = _collect_jobs(small_image, cfg, max_jobs=10)
     blur, xs, ys, sigmas, lvls, angs, _ = per_octave[0]
     jobs = _jobs_from_lists(xs, ys, sigmas, lvls, angs, len(xs))

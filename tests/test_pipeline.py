@@ -43,7 +43,7 @@ def test_pipeline_matches_oracle_end_to_end(small_image):
     ps = PopSift(cfg)
     job = ps.enqueue(small_image)
     host = job.get()
-    feats = oracle_extract(small_image, cfg, desc_variant="grid")
+    feats = oracle_extract(small_image, cfg, desc_variant="loop")
     assert host.getFeatureCount() > 3
     _match_features(host, feats)
 
