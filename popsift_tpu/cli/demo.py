@@ -1,0 +1,124 @@
+"""popsift-demo equivalent: extract SIFT features from one image.
+
+Flag vocabulary follows the reference CLI
+(/root/reference/src/application/main.cpp:48-149) where meaningful on
+TPU. Output format matches output-features.txt (main.cpp:256-258,
+Feature::print features.cu:308-328).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="popsift-demo",
+        description="TPU-native SIFT extraction (PopSift-compatible)")
+    p.add_argument("-i", "--input", required=True, help="input image (PGM/PPM/...)")
+    p.add_argument("--octaves", type=int, default=-1, help="number of octaves")
+    p.add_argument("--levels", type=int, default=3, help="levels per octave")
+    p.add_argument("--sigma", type=float, default=1.6, help="initial sigma")
+    p.add_argument("--threshold", type=float, default=0.04, help="contrast threshold")
+    p.add_argument("--edge-threshold", "--edge-limit", dest="edge_limit",
+                   type=float, default=10.0)
+    p.add_argument("--downsampling", type=float, default=-1.0,
+                   help="first octave downscale exponent (-1 = 2x upscale)")
+    p.add_argument("--initial-blur", type=float, default=0.5)
+    p.add_argument("--gauss-mode", default="vlfeat")
+    p.add_argument("--desc-mode", default="loop",
+                   choices=["loop", "iloop", "grid", "igrid", "notile"])
+    p.add_argument("--popsift-mode", action="store_true", default=True)
+    p.add_argument("--vlfeat-mode", action="store_true")
+    p.add_argument("--opencv-mode", action="store_true")
+    p.add_argument("--root-sift", action="store_true", default=True)
+    p.add_argument("--classic-norm", action="store_true")
+    p.add_argument("--norm-multi", type=int, default=0)
+    p.add_argument("--filter-max-extrema", type=int, default=-1)
+    p.add_argument("--filter-grid", type=int, default=2)
+    p.add_argument("--filter-sort", default="largest",
+                   choices=["random", "largest", "smallest"])
+    p.add_argument("-o", "--output", default="output-features.txt")
+    p.add_argument("--write-as-uchar", action="store_true")
+    p.add_argument("--print-time-info", action="store_true")
+    p.add_argument("--log", action="store_true",
+                   help="dump pyramid/DoG PGMs like the reference --log")
+    p.add_argument("--log-dir", default="dir-log")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def config_from_args(args):
+    from popsift_tpu.config import SiftConfig
+    mode = "popsift"
+    if args.vlfeat_mode:
+        mode = "vlfeat"
+    if args.opencv_mode:
+        mode = "opencv"
+    return SiftConfig(
+        octaves=args.octaves,
+        levels=args.levels,
+        sigma=args.sigma,
+        threshold=args.threshold,
+        edge_limit=args.edge_limit,
+        upscale_factor=-args.downsampling,
+        gauss_mode=args.gauss_mode,
+        sift_mode=mode,
+        desc_mode=args.desc_mode,
+        norm_mode="classic" if args.classic_norm else "rootsift",
+        norm_multiplier=args.norm_multi,
+        initial_blur=args.initial_blur,
+        assume_initial_blur=args.initial_blur > 0,
+        filter_max_extrema=args.filter_max_extrema,
+        filter_grid_size=args.filter_grid,
+        grid_filter_mode=args.filter_sort,
+        verbose=args.verbose,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from popsift_tpu.api import PopSift
+    from popsift_tpu.io.image import load_image
+
+    img = load_image(args.input)
+    cfg = config_from_args(args)
+    ps = PopSift(cfg)
+
+    t0 = time.perf_counter()
+    job = ps.enqueue(img)
+    feats = job.get()
+    dt = time.perf_counter() - t0
+
+    print(f"Number of features:    {feats.getFeatureCount()}")
+    print(f"Number of descriptors: {feats.getDescriptorCount()}")
+    if args.print_time_info:
+        print(f"Time: {dt * 1000:.1f} ms (including compilation on first call)")
+
+    feats.save(args.output, write_as_uchar=args.write_as_uchar)
+
+    if args.log:
+        import os
+        from popsift_tpu.io.image import write_pgm
+        from popsift_tpu.pipeline import build_extract_plan
+        from popsift_tpu.ops.pyramid import build_pyramid
+        import jax
+        os.makedirs(args.log_dir, exist_ok=True)
+        plan = build_extract_plan(cfg, *img.shape)
+        blurs, dogs = jax.jit(lambda x: build_pyramid(x, plan.pyramid))(img)
+        for o, (b, d) in enumerate(zip(blurs, dogs)):
+            import numpy as np
+            b = np.asarray(b)
+            d = np.asarray(d)
+            for lvl in range(b.shape[0]):
+                write_pgm(f"{args.log_dir}/pyramid-o-{o}-l-{lvl}.pgm", b[lvl])
+            for lvl in range(d.shape[0]):
+                write_pgm(f"{args.log_dir}/d-dog-o-{o}-l-{lvl}.pgm",
+                          d[lvl], scaled=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

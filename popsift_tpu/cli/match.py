@@ -1,0 +1,99 @@
+"""popsift-match equivalent: extract from two images and brute-force
+match with the ratio test.
+
+Mirrors /root/reference/src/application/match.cpp:219-274 (extraction in
+MatchingMode, then FeaturesDev::match) with the match kernel replaced by
+the MXU matcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .demo import build_parser as _demo_parser, config_from_args
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="popsift-match",
+        description="TPU-native SIFT extraction + matching")
+    p.add_argument("-l", "--left", required=True, help="left image")
+    p.add_argument("-r", "--right", required=True, help="right image")
+    for a in ("--octaves", "--levels", "--sigma", "--threshold",
+              "--downsampling", "--gauss-mode", "--desc-mode"):
+        pass  # re-declared below with the demo defaults
+    p.add_argument("--octaves", type=int, default=-1)
+    p.add_argument("--levels", type=int, default=3)
+    p.add_argument("--sigma", type=float, default=1.6)
+    p.add_argument("--threshold", type=float, default=0.04)
+    p.add_argument("--edge-threshold", dest="edge_limit", type=float, default=10.0)
+    p.add_argument("--downsampling", type=float, default=-1.0)
+    p.add_argument("--initial-blur", type=float, default=0.5)
+    p.add_argument("--gauss-mode", default="vlfeat")
+    p.add_argument("--desc-mode", default="loop")
+    p.add_argument("--ratio", type=float, default=0.8,
+                   help="Lowe ratio on squared L2 (features.cu:223)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from popsift_tpu.api import PopSift
+    from popsift_tpu.config import SiftConfig
+    from popsift_tpu.io.image import load_image
+    from popsift_tpu.ops.matching import match_descriptors
+
+    cfg = SiftConfig(
+        octaves=args.octaves, levels=args.levels, sigma=args.sigma,
+        threshold=args.threshold, edge_limit=args.edge_limit,
+        upscale_factor=-args.downsampling, gauss_mode=args.gauss_mode,
+        desc_mode=args.desc_mode, initial_blur=args.initial_blur,
+        verbose=args.verbose)
+
+    ps = PopSift(cfg, mode="matching")
+    img_l = load_image(args.left)
+    img_r = load_image(args.right)
+    job_l = ps.enqueue(img_l)
+    job_r = ps.enqueue(img_r)
+    dev_l = job_l.getDev()
+    dev_r = job_r.getDev()
+
+    print(f"left:  {dev_l.getFeatureCount()} features, "
+          f"{dev_l.getDescriptorCount()} descriptors")
+    print(f"right: {dev_r.getFeatureCount()} features, "
+          f"{dev_r.getDescriptorCount()} descriptors")
+
+    res = match_descriptors(dev_l.raw.desc, dev_l.raw.desc_valid,
+                            dev_r.raw.desc, dev_r.raw.desc_valid,
+                            ratio=args.ratio)
+    acc = np.asarray(res.accept)
+    n_acc = int(acc.sum())
+    print(f"accepted matches: {n_acc}")
+
+    host_l = job_l.getHost()
+    host_r = job_r.getHost()
+    # print matches in a show_distance-like format (features.cu:228-263)
+    bi = np.asarray(res.best_idx)
+    bd = np.asarray(res.best_dist)
+    valid_rows = np.nonzero(np.asarray(dev_l.raw.desc_valid))[0]
+    l_kp = np.asarray(dev_l.raw.desc_kp)
+    r_kp = np.asarray(dev_r.raw.desc_kp)
+    lx, ly = np.asarray(dev_l.raw.x), np.asarray(dev_l.raw.y)
+    rx, ry = np.asarray(dev_r.raw.x), np.asarray(dev_r.raw.y)
+    shown = 0
+    for row in valid_rows:
+        if not acc[row] or shown >= 50:
+            continue
+        lk, rk = l_kp[row], r_kp[bi[row]]
+        print(f"desc {row}: ({lx[lk]:.2f},{ly[lk]:.2f}) -> "
+              f"({rx[rk]:.2f},{ry[rk]:.2f}) d2={bd[row]:.4f} accept")
+        shown += 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,63 @@
+"""Image I/O and CLI tests."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from popsift_tpu.io.image import read_pgm, rgb_to_gray, write_pgm
+
+
+def test_pgm_roundtrip(tmp_path, small_image):
+    p = str(tmp_path / "x.pgm")
+    write_pgm(p, small_image)
+    back = read_pgm(p)
+    np.testing.assert_array_equal(back, small_image)
+
+
+def test_pgm_ascii(tmp_path):
+    p = tmp_path / "a.pgm"
+    p.write_bytes(b"P2\n# comment\n3 2\n255\n0 128 255\n10 20 30\n")
+    img = read_pgm(str(p))
+    np.testing.assert_array_equal(
+        img, np.array([[0, 128, 255], [10, 20, 30]], np.uint8))
+
+
+def test_pgm_maxval_rescale(tmp_path):
+    p = tmp_path / "m.pgm"
+    p.write_bytes(b"P2\n2 1\n100\n0 100\n")
+    img = read_pgm(str(p))
+    np.testing.assert_array_equal(img, np.array([[0, 255]], np.uint8))
+
+
+def test_ppm_gray_conversion(tmp_path):
+    p = tmp_path / "c.ppm"
+    p.write_bytes(b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0]))
+    img = read_pgm(str(p))
+    # integer OpenCV coefficients (pgmread.cpp:17-33)
+    assert img[0, 0] == (255 * 4899 + 8192) >> 14
+    assert img[0, 1] == (255 * 9617 + 8192) >> 14
+
+
+def test_rgb_to_gray_white():
+    white = np.full((1, 1, 3), 255, np.uint8)
+    assert rgb_to_gray(white)[0, 0] == 255
+
+
+@pytest.mark.slow
+def test_demo_cli(tmp_path, small_image):
+    img_path = str(tmp_path / "in.pgm")
+    out_path = str(tmp_path / "feat.txt")
+    write_pgm(img_path, small_image)
+    r = subprocess.run(
+        [sys.executable, "-m", "popsift_tpu.cli.demo",
+         "-i", img_path, "-o", out_path, "--octaves", "2",
+         "--print-time-info"],
+        capture_output=True, text=True, timeout=900,
+        env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"})
+    assert r.returncode == 0, r.stderr
+    assert "Number of features:" in r.stdout
+    lines = open(out_path).read().strip().splitlines()
+    assert lines and len(lines[0].split()) == 133
