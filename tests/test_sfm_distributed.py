@@ -1,0 +1,57 @@
+"""Distributed Schur-complement BA on the 8-device virtual mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from popsift_tpu.parallel.mesh import make_mesh
+from popsift_tpu.sfm.ba import bundle_adjust, residuals
+from popsift_tpu.sfm.distributed import make_distributed_ba_fn, partition_by_point
+from popsift_tpu.sfm.evaluate import ate_rmse, camera_centers
+from tests.test_sfm import _make_ba_problem
+
+pytestmark = pytest.mark.distributed
+
+
+def test_partition_preserves_problem():
+    rng = np.random.default_rng(7)
+    prob, _, _ = _make_ba_problem(rng, n_cams=3, n_pts=50)
+    sharded, new_index = partition_by_point(prob, 8)
+    assert sharded.points.shape[0] == 8
+    # every original observation appears exactly once
+    assert int(np.asarray(sharded.obs_valid).sum()) == prob.obs_cam.shape[0]
+    # residuals identical (compare sums of squares)
+    import jax.numpy as jnp
+    flat = sharded._replace(
+        points=sharded.points.reshape(-1, 3),
+        obs_cam=sharded.obs_cam.reshape(-1),
+        obs_pt=(sharded.obs_pt
+                + (jnp.arange(8)[:, None] * sharded.points.shape[1])
+                ).reshape(-1),
+        obs_uv=sharded.obs_uv.reshape(-1, 2),
+        obs_valid=sharded.obs_valid.reshape(-1))
+    r_flat = np.asarray(residuals(flat))
+    r_orig = np.asarray(residuals(prob))
+    assert abs((r_flat ** 2).sum() - (r_orig ** 2).sum()) < 1e-3
+
+
+def test_distributed_ba_matches_single_device():
+    rng = np.random.default_rng(8)
+    prob, cams_gt, _ = _make_ba_problem(rng, n_cams=5, n_pts=64,
+                                        noise_px=0.3)
+    # single-device result
+    out_s, costs_s = bundle_adjust(prob, iters=8, cg_iters=20)
+    ate_s = ate_rmse(camera_centers(np.asarray(out_s.cams)),
+                     camera_centers(cams_gt))
+
+    mesh = make_mesh(8)
+    sharded, _ = partition_by_point(prob, 8)
+    run = make_distributed_ba_fn(mesh, iters=8, cg_iters=20)
+    out_d, costs_d = run(sharded)
+    ate_d = ate_rmse(camera_centers(np.asarray(out_d.cams)),
+                     camera_centers(cams_gt))
+
+    assert ate_d < max(2 * ate_s, 5e-3), f"dist ATE {ate_d} vs single {ate_s}"
+    # costs should track each other closely
+    np.testing.assert_allclose(np.asarray(costs_d)[-1],
+                               np.asarray(costs_s)[-1], rtol=0.2)
