@@ -5,9 +5,9 @@ Counterpart of the reference's application-side loader
 integer RGB->gray using the OpenCV coefficients and maxval rescaling)
 and the debug plane writers (common/write_plane_2d.cu:19-178).
 
-A C++ fast path (``popsift_tpu.io.native``) is used when the compiled
-extension is available; this module is the always-available fallback and
-the semantics reference.
+A C++ fast path (``popsift_tpu.runtime.native``) is used when the
+compiled extension is available; this module is the always-available
+fallback and the semantics reference.
 """
 
 from __future__ import annotations
@@ -100,7 +100,11 @@ def load_image(path: str) -> np.ndarray:
     """Load any supported image as uint8 grayscale [H, W]."""
     lower = path.lower()
     if lower.endswith((".pgm", ".ppm", ".pnm")):
-        return read_pgm(path)
+        try:
+            from ..runtime import native
+            return native.read_pnm(path)
+        except ImportError:
+            return read_pgm(path)
     try:
         from PIL import Image  # optional
         img = np.asarray(Image.open(path))
