@@ -46,6 +46,8 @@ class OctaveExtrema(NamedTuple):
     cell: jnp.ndarray     # i32[K] grid-filter cell id
     valid: jnp.ndarray    # bool[K]
     count: jnp.ndarray    # i32[] number of valid entries
+    n_candidates: jnp.ndarray  # i32[] pre-refinement candidates (for
+    # capacity calibration; counts saturate at the octave capacity)
 
 
 def _neighbor_offsets():
@@ -171,15 +173,49 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
     y0 = (rem // W).astype(jnp.int32)
     x0 = (rem % W).astype(jnp.int32)
 
-    def read(xs, ys, zs):
-        zs = jnp.clip(zs, 0, D - 1)
-        ys = jnp.clip(ys, 0, H - 1)
-        xs = jnp.clip(xs, 0, W - 1)
-        return dog[zs, ys, xs]
+    # Per-candidate neighborhood patches instead of per-read gathers:
+    # positions move at most MAX_ITERATIONS-1 cells from the start and
+    # derivatives need a +-1 halo, so an 11x11 window (all D layers)
+    # covers every read of the refinement loop. One batched
+    # dynamic_slice pulls the patches (coarse-grained, bandwidth-bound);
+    # the 27-point neighborhood of the *current* position is then read
+    # with three tiny separable one-hot contractions on the VPU —
+    # scalar gathers from HBM cost ~80 cycles each, this is ~3 ops per
+    # patch element.
+    R = MAX_ITERATIONS                      # 4 moves + 1 derivative halo
+    P = 2 * R + 1
+    dogp = jnp.pad(dog, ((0, 0), (R, R), (R, R)), mode="edge")
 
-    v = read(x0, y0, z0)  # original values (contrast base, s_extrema.cu:357)
+    def one_patch(y, x):
+        return jax.lax.dynamic_slice(dogp, (0, y, x), (D, P, P))
+
+    patches = jax.vmap(one_patch)(y0, x0)      # [K, D, P, P]
+    K = capacity
+
+    def neighborhood(nz, oy, ox):
+        """All 27 neighbor values at layer nz + offset (oy, ox) from the
+        patch center: v[k, a, b, c] = dog[nz+a-1, ny+b-1, nx+c-1]."""
+        ar3 = jnp.arange(3, dtype=jnp.int32)
+        zi = jnp.clip(nz[:, None] + ar3[None, :] - 1, 0, D - 1)  # [K, 3]
+        yi = R + oy[:, None] + ar3[None, :] - 1
+        xi = R + ox[:, None] + ar3[None, :] - 1
+        oz = (zi[:, :, None] == jnp.arange(D, dtype=jnp.int32)
+              ).astype(jnp.float32)                              # [K, 3, D]
+        oyh = (yi[:, :, None] == jnp.arange(P, dtype=jnp.int32)
+               ).astype(jnp.float32)                             # [K, 3, P]
+        oxh = (xi[:, :, None] == jnp.arange(P, dtype=jnp.int32)
+               ).astype(jnp.float32)
+        t = jnp.einsum("kaz,kzm->kam", oz, patches.reshape(K, D, P * P),
+                       preferred_element_type=jnp.float32)
+        t = jnp.einsum("kby,kaym->kabm", oyh, t.reshape(K, 3, P, P),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("kcx,kabx->kabc", oxh, t,
+                          preferred_element_type=jnp.float32)    # [K,3,3,3]
 
     nx, ny, nz = x0, y0, z0
+    ox_off = jnp.zeros(capacity, jnp.int32)
+    oy_off = jnp.zeros(capacity, jnp.int32)
+    v = jnp.zeros(capacity, jnp.float32)
     dx = dy = dz = jnp.zeros(capacity, jnp.float32)
     Dx = Dy = Ds = jnp.zeros(capacity, jnp.float32)
     DDx = DDy = DDs = jnp.zeros(capacity, jnp.float32)
@@ -188,25 +224,26 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
 
     for it in range(1, MAX_ITERATIONS + 1):
         act = ~done
-        p2 = read(nx + 1, ny, nz)
-        p0 = read(nx - 1, ny, nz)
-        q2 = read(nx, ny + 1, nz)
-        q0 = read(nx, ny - 1, nz)
-        r2 = read(nx, ny, nz + 1)
-        r0 = read(nx, ny, nz - 1)
-        c = read(nx, ny, nz)
+        nb = neighborhood(nz, oy_off, ox_off)
+        c = nb[:, 1, 1, 1]
+        if it == 1:
+            # original center value (contrast base, s_extrema.cu:357)
+            v = c
+        p2, p0 = nb[:, 1, 1, 2], nb[:, 1, 1, 0]
+        q2, q0 = nb[:, 1, 2, 1], nb[:, 1, 0, 1]
+        r2, r0 = nb[:, 2, 1, 1], nb[:, 0, 1, 1]
         nDx = 0.5 * (p2 - p0)
         nDy = 0.5 * (q2 - q0)
         nDs = 0.5 * (r2 - r0)
         nDDx = p2 + p0 - 2.0 * c
         nDDy = q2 + q0 - 2.0 * c
         nDDs = r2 + r0 - 2.0 * c
-        nDXy = 0.25 * (read(nx + 1, ny + 1, nz) + read(nx - 1, ny - 1, nz)
-                       - read(nx - 1, ny + 1, nz) - read(nx + 1, ny - 1, nz))
-        nDXs = 0.25 * (read(nx + 1, ny, nz + 1) + read(nx - 1, ny, nz - 1)
-                       - read(nx - 1, ny, nz + 1) - read(nx + 1, ny, nz - 1))
-        nDYs = 0.25 * (read(nx, ny + 1, nz + 1) + read(nx, ny - 1, nz - 1)
-                       - read(nx, ny + 1, nz - 1) - read(nx, ny - 1, nz + 1))
+        nDXy = 0.25 * (nb[:, 1, 2, 2] + nb[:, 1, 0, 0]
+                       - nb[:, 1, 2, 0] - nb[:, 1, 0, 2])
+        nDXs = 0.25 * (nb[:, 2, 1, 2] + nb[:, 0, 1, 0]
+                       - nb[:, 2, 1, 0] - nb[:, 0, 1, 2])
+        nDYs = 0.25 * (nb[:, 2, 2, 1] + nb[:, 0, 0, 1]
+                       - nb[:, 0, 2, 1] - nb[:, 2, 0, 1])
 
         sing, sx, sy, ss = _solve3(nDDx, nDXy, nDXs, nDDy, nDYs, nDDs,
                                    -nDx, -nDy, -nDs)
@@ -240,6 +277,8 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
             nx = jnp.where(move, nx + tx, nx)
             ny = jnp.where(move, ny + ty, ny)
             nz = jnp.where(move, nz + tz, nz)
+            ox_off = jnp.where(move, ox_off + tx, ox_off)
+            oy_off = jnp.where(move, oy_off + ty, oy_off)
             done = done | (act & (sing | converged))
         else:
             done = done | act
@@ -281,4 +320,5 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
         cell=jnp.where(ok, cell, 0),
         valid=ok,
         count=jnp.sum(ok, dtype=jnp.int32),
+        n_candidates=n_found,
     )

@@ -132,6 +132,21 @@ def _sep_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return x
 
 
+def _upsample2_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x upsample along ``axis`` for the PopSift/VLFeat sampling
+    grid: with shift = 2^upscale * 0.5 = 1.0 and ratio 1/2, destination
+    position p maps to source (p + 1) * 0.5 - 0.5 = p/2 — even outputs
+    are source pixels, odd outputs are midpoints. Pure slicing +
+    interleave (no gather: TPU gathers on a 8M-pixel image cost ~45 ms,
+    this is 3 VPU passes)."""
+    x = jnp.moveaxis(img, axis, 0)
+    n = x.shape[0]
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)   # clamp last
+    mid = 0.5 * (x + nxt)
+    out = jnp.stack([x, mid], axis=1).reshape((2 * n,) + x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
     """Build octave-0 level-0 from the input image.
 
@@ -150,14 +165,21 @@ def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
     kx = plan.lvl0_kernel_x
     pad = (kx.shape[0] - 1) // 2
 
-    ry = sh / oh
-    rx = sw / ow
-    ys = (np.arange(oh, dtype=np.float64) + plan.shift0) * ry - 0.5
-    xs = (np.arange(-pad, ow + pad, dtype=np.float64) + plan.shift0) * rx - 0.5
-
-    r = _lerp_rows(img, ys)                    # [oh, sw]
-    r = _lerp_rows(r.T, xs).T                  # [oh, ow + 2*pad]
-    out = _conv1d_valid(r, kx, axis=1) * 255.0  # [oh, ow]
+    if oh == 2 * sh and ow == 2 * sw and plan.shift0 == 1.0:
+        # default 2x upscale (PopSift/VLFeat shift convention): the
+        # sample grid degenerates to pixels + midpoints — pure
+        # slicing/interleave instead of a large gather.
+        up = _upsample2_axis(_upsample2_axis(img, 0), 1)
+        r = jnp.pad(up, ((0, 0), (pad, pad)), mode="edge")
+    else:
+        ry = sh / oh
+        rx = sw / ow
+        ys = (np.arange(oh, dtype=np.float64) + plan.shift0) * ry - 0.5
+        xs = (np.arange(-pad, ow + pad, dtype=np.float64)
+              + plan.shift0) * rx - 0.5
+        r = _lerp_rows(img, ys)                    # [oh, sw]
+        r = _lerp_rows(r.T, xs).T                  # [oh, ow + 2*pad]
+    out = _conv1d_valid(r, kx, axis=1) * 255.0     # [oh, ow]
 
     ky = plan.lvl0_kernel_y
     pady = (ky.shape[0] - 1) // 2
@@ -165,9 +187,19 @@ def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
     return _conv1d_valid(out, ky, axis=0)
 
 
-def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan):
+def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
+                  use_pallas: bool | None = None):
     """Full pyramid. Returns (blurs, dogs): tuples over octaves of
-    f32[L, H, W] and f32[L-1, H, W]."""
+    f32[L, H, W] and f32[L-1, H, W].
+
+    On TPU backends the per-level blur+DoG runs as a fused Pallas kernel
+    (ops/pallas/blur.py); elsewhere (CPU tests) the XLA shift-add
+    formulation is used — both produce identical f32 results.
+    """
+    from .pallas.blur import blur_and_dog, blur_dog_available
+
+    if use_pallas is None:
+        use_pallas = blur_dog_available()
     cfg = plan.config
     total = cfg.total_levels
     blurs = []
@@ -179,10 +211,16 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan):
         else:
             lvl0 = prev_ds_level[0::2, 0::2][:oh, :ow]
         levels = [lvl0]
+        dog_layers = []
         for lvl in range(1, total):
-            levels.append(_sep_blur(levels[-1], plan.inc_kernels[lvl]))
-        blur = jnp.stack(levels)
-        blurs.append(blur)
-        dogs.append(blur[1:] - blur[:-1])
+            if use_pallas:
+                b, d = blur_and_dog(levels[-1], plan.inc_kernels[lvl])
+                levels.append(b)
+                dog_layers.append(d)
+            else:
+                levels.append(_sep_blur(levels[-1], plan.inc_kernels[lvl]))
+                dog_layers.append(levels[-1] - levels[-2])
+        blurs.append(jnp.stack(levels))
+        dogs.append(jnp.stack(dog_layers))
         prev_ds_level = levels[total - 3]
     return tuple(blurs), tuple(dogs)

@@ -24,7 +24,8 @@ from ..ops.matching import match_descriptors
 def make_batched_extract_fn(cfg: SiftConfig, height: int, width: int,
                             mesh: Mesh, axis_name: str = "dp",
                             match_pairs: bool = False,
-                            desc_chunk: int = 1024):
+                            desc_chunk: int = 1024,
+                            octave_caps: tuple | None = None):
     """Jitted fn: uint8[B, H, W] -> (SiftFeatures batched, ring matches).
 
     B must be divisible by the mesh size. When ``match_pairs`` is set,
@@ -32,7 +33,8 @@ def make_batched_extract_fn(cfg: SiftConfig, height: int, width: int,
     over the batch — the SfM-frontend sequential-pair workload), with the
     neighbor shard's descriptors fetched over ICI via ppermute.
     """
-    plan = build_extract_plan(cfg, height, width)
+    plan = build_extract_plan(cfg, height, width,
+                              octave_caps=octave_caps)
     n = mesh.shape[axis_name]
 
     def local_fn(imgs):

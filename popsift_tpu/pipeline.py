@@ -58,6 +58,9 @@ class SiftFeatures(NamedTuple):
     # counts
     n_keypoints: jnp.ndarray
     n_descriptors: jnp.ndarray
+    # per-octave pre-refinement candidate counts (capacity calibration);
+    # saturates at the octave capacity
+    octave_candidates: jnp.ndarray   # i32[n_octaves]
 
 
 @dataclass(frozen=True)
@@ -80,12 +83,27 @@ class ExtractPlan:
         return sum(self.job_caps)
 
 
-def build_extract_plan(config: SiftConfig, height: int, width: int) -> ExtractPlan:
+def build_extract_plan(config: SiftConfig, height: int, width: int,
+                       octave_caps: tuple | None = None) -> ExtractPlan:
+    """Build the static plan.
+
+    ``octave_caps`` optionally pins a per-octave extrema capacity
+    (production deployments calibrate these once per camera/scene —
+    downstream orientation/descriptor compute is proportional to the
+    padded capacity, so right-sizing each octave is a large win; the
+    reference sizes one global buffer from ``max_extrema`` up front,
+    sift_pyramid.cu:121-164, and clamps overflow the same way).
+    """
     pyr = build_pyramid_plan(config, height, width)
     ext_caps = []
     job_caps = []
-    for (oh, ow) in pyr.dims:
-        cap = config.capacity_for_octave(oh, ow)
+    for octv, (oh, ow) in enumerate(pyr.dims):
+        if octave_caps is not None:
+            cap = octave_caps[octv] if octv < len(octave_caps) else \
+                octave_caps[-1]
+        else:
+            cap = config.capacity_for_octave(oh, ow)
+        cap = min(cap, config.max_extrema)
         ext_caps.append(cap)
         # reference sizes the flat orientation list at 1.25x extrema
         # (sift_constants.cu:31)
@@ -173,6 +191,7 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         desc_valid=desc_valid,
         n_keypoints=jnp.sum(valid, dtype=jnp.int32),
         n_descriptors=jnp.sum(desc_valid, dtype=jnp.int32),
+        octave_candidates=jnp.stack([e.n_candidates for e in exts]),
     )
 
 

@@ -20,7 +20,8 @@ def _pack(exts, cap):
     ext = OctaveExtrema(
         x=z.copy(), y=z.copy(), s=z.copy(), level=zi.copy(),
         sigma=z.copy(), cell=zi.copy(),
-        valid=np.zeros(cap, bool), count=np.int32(n))
+        valid=np.zeros(cap, bool), count=np.int32(n),
+        n_candidates=np.int32(n))
     for i, e in enumerate(exts[:cap]):
         ext.x[i] = e.x
         ext.y[i] = e.y
