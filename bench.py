@@ -65,9 +65,13 @@ def main():
     import jax.numpy as jnp
     from popsift_tpu.pipeline import extract
 
+    # batch by unrolling (NOT vmap): batched gathers in the patch-based
+    # refine make XLA relayout the DoG stack batch-minor with a 128x
+    # padding explosion; unrolled programs keep the single-image layouts
+    # and XLA still interleaves their schedules.
     B = 4
     batch = np.stack(frames[:B])
-    fn = jax.jit(lambda xs: jax.vmap(lambda im: extract(im, plan))(xs))
+    fn = jax.jit(lambda xs: [extract(xs[i], plan) for i in range(B)])
     r = fn(batch)
     jax.block_until_ready(r)
 

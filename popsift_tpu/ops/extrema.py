@@ -205,12 +205,18 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
                ).astype(jnp.float32)                             # [K, 3, P]
         oxh = (xi[:, :, None] == jnp.arange(P, dtype=jnp.int32)
                ).astype(jnp.float32)
-        t = jnp.einsum("kaz,kzm->kam", oz, patches.reshape(K, D, P * P),
-                       preferred_element_type=jnp.float32)
-        t = jnp.einsum("kby,kaym->kabm", oyh, t.reshape(K, 3, P, P),
-                       preferred_element_type=jnp.float32)
-        return jnp.einsum("kcx,kabx->kabc", oxh, t,
-                          preferred_element_type=jnp.float32)    # [K,3,3,3]
+        # explicit multiply+reduce (NOT einsum/dot): routing these tiny
+        # contractions to the MXU makes XLA re-materialize the whole DoG
+        # stack as bf16 in an einsum-friendly batch-minor layout — a
+        # 128x padding explosion (~8 GB/frame, measured) — and costs
+        # refine precision. The VPU form stays f32 and fuses.
+        t = jnp.sum(oz[:, :, :, None]
+                    * patches.reshape(K, 1, D, P * P), axis=2)   # [K,3,P*P]
+        t = t.reshape(K, 3, P, P)
+        t = jnp.sum(oyh[:, None, :, :, None] * t[:, :, None, :, :],
+                    axis=3)                                      # [K,3,3,P]
+        return jnp.sum(oxh[:, None, None, :, :] * t[:, :, :, None, :],
+                       axis=4)                                   # [K,3,3,3]
 
     nx, ny, nz = x0, y0, z0
     ox_off = jnp.zeros(capacity, jnp.int32)

@@ -101,13 +101,15 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
                      / np.float32(2.0 * math.pi)).astype(jnp.int32)
     bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
 
-    # histogram via one-hot contraction (VPU/MXU friendly, no scatters)
-    onehot = (bidx.reshape(K, P * P)[..., None]
-              == jnp.arange(ORI_NBINS)[None, None, :])
-    hist = jnp.einsum("kp,kpb->kb",
-                      weight.reshape(K, P * P),
-                      onehot.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+    # histogram via per-bin masked reductions (VPU friendly, no scatter).
+    # A single one-hot einsum materializes [K, P*P, 36] (~1 GB per image
+    # at K=3k, P=49) — the per-bin loop keeps peak memory at [K, P*P]
+    # and XLA fuses each compare+select+reduce into one pass.
+    wflat = weight.reshape(K, P * P)
+    bflat = bidx.reshape(K, P * P)
+    hist = jnp.stack(
+        [jnp.sum(jnp.where(bflat == b, wflat, 0.0), axis=1)
+         for b in range(ORI_NBINS)], axis=1)
 
     # VLFeat smoothing: 3 x (two circular box-3 passes)
     for _ in range(6):

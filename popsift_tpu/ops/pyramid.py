@@ -132,6 +132,51 @@ def _sep_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return x
 
 
+def _phase_kernels(kernel: np.ndarray):
+    """Polyphase decomposition of (2x linear upsample -> conv ``kernel``)
+    along one axis.
+
+    With up[2q] = img[q], up[2q+1] = (img[q] + img[q+1])/2 and
+    out[p] = sum_u up[p - S + u] * kernel[u], the output phases are
+    direct convolutions of the *source*:
+        out[2j + phi] = sum_d img[j + d] * K_phi[d].
+    Returns ((K0, q0min), (K1, q1min)) as numpy arrays over d offsets.
+    """
+    S = (kernel.shape[0] - 1) // 2
+    out = []
+    for phi in (0, 1):
+        taps = {}
+        for u in range(kernel.shape[0]):
+            t = phi - S + u
+            if t % 2 == 0:
+                taps[t // 2] = taps.get(t // 2, 0.0) + float(kernel[u])
+            else:
+                lo = (t - 1) // 2
+                taps[lo] = taps.get(lo, 0.0) + 0.5 * float(kernel[u])
+                taps[lo + 1] = taps.get(lo + 1, 0.0) + 0.5 * float(kernel[u])
+        qmin, qmax = min(taps), max(taps)
+        arr = np.zeros(qmax - qmin + 1, np.float64)
+        for d, v in taps.items():
+            arr[d - qmin] = v
+        out.append((arr.astype(np.float32), qmin))
+    return tuple(out)
+
+
+def _conv1d_asym(x: jnp.ndarray, taps: np.ndarray, qmin: int, pad: int,
+                 axis: int) -> jnp.ndarray:
+    """out[j] = sum_d x_padded[j + pad + qmin + (d - qmin)] * taps[...] —
+    valid conv with an asymmetric kernel on an already-padded input.
+    ``pad`` is the padding that was applied on both sides of ``axis``."""
+    x2 = jnp.moveaxis(x, axis, -1)
+    n = x2.shape[-1] - 2 * pad
+    out = None
+    for i in range(taps.shape[0]):
+        off = pad + qmin + i
+        term = x2[..., off:off + n] * float(taps[i])
+        out = term if out is None else out + term
+    return jnp.moveaxis(out, -1, axis)
+
+
 def _upsample2_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Exact 2x upsample along ``axis`` for the PopSift/VLFeat sampling
     grid: with shift = 2^upscale * 0.5 = 1.0 and ratio 1/2, destination
@@ -145,6 +190,25 @@ def _upsample2_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     mid = 0.5 * (x + nxt)
     out = jnp.stack([x, mid], axis=1).reshape((2 * n,) + x.shape[1:])
     return jnp.moveaxis(out, 0, axis)
+
+
+def _row_interleave(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] x2 -> [2H, W] alternating rows. stack(axis=1) produces
+    [H, 2, W], whose row-major layout equals [2H, W]: the reshape is
+    free, so this costs one concat-like copy."""
+    H, W = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * H, W)
+
+
+def _interleave2x2(planes) -> jnp.ndarray:
+    """planes[py][px] f32[H, W] -> f32[2H, 2W]. Lane-dim interleave is
+    done as transpose -> row interleave -> transpose: TPU transposes are
+    bandwidth-bound relayouts while direct minor-dim interleaves lower
+    to element shuffles (~40x slower, measured)."""
+    (p00, p01), (p10, p11) = planes
+    q0 = _row_interleave(p00, p10)          # [2H, W]
+    q1 = _row_interleave(p01, p11)
+    return _row_interleave(q0.T, q1.T).T    # [2H, 2W]
 
 
 def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
@@ -166,11 +230,32 @@ def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
     pad = (kx.shape[0] - 1) // 2
 
     if oh == 2 * sh and ow == 2 * sw and plan.shift0 == 1.0:
-        # default 2x upscale (PopSift/VLFeat shift convention): the
-        # sample grid degenerates to pixels + midpoints — pure
-        # slicing/interleave instead of a large gather.
-        up = _upsample2_axis(_upsample2_axis(img, 0), 1)
-        r = jnp.pad(up, ((0, 0), (pad, pad)), mode="edge")
+        # Default 2x upscale (PopSift/VLFeat shift convention): the
+        # sample grid degenerates to pixels + midpoints, so the whole
+        # (upsample -> dd0 horiz conv -> inc0 vert conv) chain is a
+        # polyphase filter bank: four quarter-res planes computed by
+        # small convs on the *source* image, assembled by one
+        # interleave. (A naive minor-dim stack/reshape interleave costs
+        # ~44 ms on an 8.3M-pixel frame; rows first + transposes makes
+        # every reshape layout-free: ~1 ms.)
+
+        kxp = _phase_kernels(kx * 255.0)
+        kyp = _phase_kernels(plan.lvl0_kernel_y)
+        px_pad = max(max(abs(q), abs(q + t.shape[0] - 1))
+                     for t, q in kxp)
+        py_pad = max(max(abs(q), abs(q + t.shape[0] - 1))
+                     for t, q in kyp)
+        imgp = jnp.pad(img, ((py_pad, py_pad), (px_pad, px_pad)),
+                       mode="edge")
+        planes = []
+        for ky_t, ky_q in kyp:
+            row = []
+            for kx_t, kx_q in kxp:
+                p = _conv1d_asym(imgp, kx_t, kx_q, px_pad, axis=1)
+                p = _conv1d_asym(p, ky_t, ky_q, py_pad, axis=0)
+                row.append(p)
+            planes.append(tuple(row))
+        return _interleave2x2(tuple(planes))
     else:
         ry = sh / oh
         rx = sw / ow
@@ -192,14 +277,16 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
     """Full pyramid. Returns (blurs, dogs): tuples over octaves of
     f32[L, H, W] and f32[L-1, H, W].
 
-    On TPU backends the per-level blur+DoG runs as a fused Pallas kernel
-    (ops/pallas/blur.py); elsewhere (CPU tests) the XLA shift-add
-    formulation is used — both produce identical f32 results.
+    ``use_pallas=True`` runs the per-level blur+DoG as a fused Pallas
+    kernel (ops/pallas/blur.py) — bit-identical to the XLA shift-add
+    path on TPU. The XLA path is the default: measured per-level cost
+    is 0.4 ms vs the kernel's 0.7 ms (XLA fuses the shift-add chain
+    well), and the kernel does not support an outer vmap over images.
     """
-    from .pallas.blur import blur_and_dog, blur_dog_available
+    from .pallas.blur import blur_and_dog
 
     if use_pallas is None:
-        use_pallas = blur_dog_available()
+        use_pallas = False
     cfg = plan.config
     total = cfg.total_levels
     blurs = []

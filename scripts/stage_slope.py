@@ -37,10 +37,18 @@ def probe(tree):
 
 
 def slope(stagefn, arrs, iters=8):
+    # unrolled batch (not vmap) to match the production batching mode:
+    # vmapped gathers trigger pathological batch-minor relayouts.
     ts = {}
     for B in (1, 4):
-        a = jax.tree_util.tree_map(lambda x: x[:B], arrs)
-        fn = jax.jit(lambda a: jax.vmap(stagefn)(a).sum())
+        def fn_(a, B=B):
+            tot = jnp.float32(0)
+            for i in range(B):
+                tot = tot + stagefn(
+                    jax.tree_util.tree_map(lambda x: x[i], a))
+            return tot
+        fn = jax.jit(fn_)
+        a = jax.tree_util.tree_map(lambda x: x[:4], arrs)
         np.asarray(fn(a))
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -71,8 +79,10 @@ def main():
         print(f"pyramid: {s:.1f} ms/img  (B1={ts[1]:.0f} B4={ts[4]:.0f})")
         return
 
-    pyr = jax.jit(jax.vmap(lambda im: build_pyramid(im, plan.pyramid,
-                                                    use_pallas=False)))
+    pyr = jax.jit(lambda xs: jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls),
+        *[build_pyramid(xs[i], plan.pyramid, use_pallas=False)
+          for i in range(4)]))
     blurs, dogs = pyr(imgs)
 
     if which == "mask":
@@ -88,18 +98,27 @@ def main():
             detect_extrema(x, cfg, plan.ext_caps[o], dims[o][1], dims[o][0])
             for o, x in enumerate(d))), dogs)
     else:
-        ext = jax.jit(jax.vmap(lambda d: tuple(
-            detect_extrema(x, cfg, plan.ext_caps[o], dims[o][1], dims[o][0])
-            for o, x in enumerate(d))))
+        def ext_one(d):
+            return tuple(
+                detect_extrema(x, cfg, plan.ext_caps[o], dims[o][1],
+                               dims[o][0]) for o, x in enumerate(d))
+        ext = jax.jit(lambda ds: jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls),
+            *[ext_one(jax.tree_util.tree_map(lambda x: x[i], ds))
+              for i in range(4)]))
         exts = ext(dogs)
         if which == "orientation":
             s, ts = slope(lambda be: probe(tuple(
                 assign_orientations(b, e, cfg)
                 for b, e in zip(be[0], be[1]))), (blurs, exts))
         elif which == "descriptors":
-            ori = jax.jit(jax.vmap(lambda be: tuple(
-                assign_orientations(b, e, cfg)
-                for b, e in zip(be[0], be[1]))))
+            def ori_one(be):
+                return tuple(assign_orientations(b, e, cfg)
+                             for b, e in zip(be[0], be[1]))
+            ori = jax.jit(lambda be: jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls),
+                *[ori_one(jax.tree_util.tree_map(lambda x: x[i], be))
+                  for i in range(4)]))
             oris = ori((blurs, exts))
 
             def desc_stage(t3):

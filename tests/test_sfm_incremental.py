@@ -1,0 +1,120 @@
+"""Incremental SfM: tracks -> seed pair -> PnP registration -> BA,
+plus checkpoint/resume, on a synthetic multi-view scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from popsift_tpu.sfm.checkpoint import load_reconstruction, save_reconstruction
+from popsift_tpu.sfm.evaluate import ate_rmse, camera_centers
+from popsift_tpu.sfm.incremental import IncrementalSfM
+from popsift_tpu.sfm.pnp import ransac_pnp
+from popsift_tpu.sfm.rotation import exp_so3
+from popsift_tpu.sfm.tracks import Tracks, build_tracks
+
+INTR = np.array([500.0, 500.0, 320.0, 240.0], np.float32)
+
+
+def make_multiview(rng, n_pts=80, n_cams=5, noise=0.0):
+    X = rng.uniform([-2, -2, 4], [2, 2, 8], size=(n_pts, 3)).astype(np.float32)
+    cams = []
+    for i in range(n_cams):
+        w = np.array([0.03 * i, -0.04 * i, 0.02 * i], np.float32)
+        R = np.asarray(exp_so3(jnp.asarray(w)))
+        C = np.array([0.4 * i, 0.05 * i, -0.08 * i], np.float32)
+        cams.append((R.astype(np.float32), (-R @ C).astype(np.float32)))
+    fx, fy, cx, cy = INTR
+    kps, vis = {}, {}
+    for i, (R, t) in enumerate(cams):
+        Xc = X @ R.T + t
+        x = Xc[:, :2] / Xc[:, 2:3]
+        uv = np.stack([fx * x[:, 0] + cx, fy * x[:, 1] + cy], -1)
+        if noise > 0:
+            uv = uv + rng.normal(0, noise, uv.shape)
+        kps[i] = uv.astype(np.float32)
+        vis[i] = np.arange(n_pts)
+    return X, cams, kps
+
+
+def tracks_from_gt(kps, n_pts):
+    """Ground-truth tracks: feature j in every image is point j."""
+    tid, iid, fid, uv = [], [], [], []
+    for img, k in kps.items():
+        for j in range(n_pts):
+            tid.append(j)
+            iid.append(img)
+            fid.append(j)
+            uv.append(k[j])
+    return Tracks(track_id=np.asarray(tid), image_id=np.asarray(iid),
+                  feature_id=np.asarray(fid),
+                  uv=np.stack(uv).astype(np.float32), n_tracks=n_pts)
+
+
+def test_build_tracks_union_find():
+    kps = {0: np.zeros((4, 2), np.float32),
+           1: np.ones((4, 2), np.float32),
+           2: 2 * np.ones((4, 2), np.float32)}
+    matches = {(0, 1): np.array([[0, 1], [1, 2]]),
+               (1, 2): np.array([[1, 3], [2, 0]])}
+    t = build_tracks(matches, kps)
+    # track A: (0,0)-(1,1)-(2,3); track B: (0,1)-(1,2)-(2,0)
+    assert t.n_tracks == 2
+    assert len(t.track_id) == 6
+
+
+def test_build_tracks_drops_inconsistent():
+    kps = {0: np.zeros((4, 2), np.float32), 1: np.zeros((4, 2), np.float32)}
+    # feature (0,0) matches two different features of image 1 -> fold into
+    # one track with two obs in image 1 -> dropped
+    matches = {(0, 1): np.array([[0, 1], [0, 2]])}
+    t = build_tracks(matches, kps)
+    assert t.n_tracks == 0
+
+
+def test_pnp_ransac_with_outliers():
+    rng = np.random.default_rng(3)
+    X, cams, kps = make_multiview(rng, n_pts=96, n_cams=2)
+    R, t = cams[1]
+    fx, fy, cx, cy = INTR
+    uv = kps[1]
+    x = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], -1)
+    # 25% outliers
+    n_out = 24
+    x[:n_out] = rng.uniform(-0.5, 0.5, (n_out, 2))
+    res = ransac_pnp(jax.random.PRNGKey(0), jnp.asarray(X), jnp.asarray(x),
+                     jnp.ones(len(X), bool), thresh=1e-5)
+    assert int(res.n_inliers) >= 96 - n_out - 2
+    np.testing.assert_allclose(np.asarray(res.R), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_incremental_reconstruction_and_ate(tmp_path):
+    rng = np.random.default_rng(7)
+    n_pts, n_cams = 80, 5
+    X, cams, kps = make_multiview(rng, n_pts=n_pts, n_cams=n_cams,
+                                  noise=0.3)
+    tracks = tracks_from_gt(kps, n_pts)
+    sfm = IncrementalSfM(tracks, INTR, checkpoint_dir=str(tmp_path / "ck"))
+    pair = sfm.initialize()
+    assert pair is not None
+    while sfm.register_next() is not None:
+        pass
+    assert len(sfm.rec.registered) == n_cams
+    sfm.global_ba(iters=8)
+
+    def centers(pairs):
+        return np.stack([-(R.T @ t) for R, t in pairs])
+
+    C_est = centers([(sfm.rec.cam_R[i], sfm.rec.cam_t[i])
+                     for i in range(n_cams)])
+    C_gt = centers(cams)
+    rmse = ate_rmse(C_est, C_gt)
+    assert rmse < 0.05, f"ATE {rmse}"
+
+    # checkpoint/resume: latest checkpoint reproduces the state
+    rec2 = load_reconstruction(str(tmp_path / "ck"))
+    assert rec2.registered == sfm.rec.registered
+    np.testing.assert_allclose(rec2.cam_t[2], sfm.rec.cam_t[2], atol=1e-6)
+    assert len(rec2.points) == len(sfm.rec.points)
