@@ -53,6 +53,8 @@ class PyramidPlan:
 
     # numpy filter banks (trace-time constants)
     inc_kernels: tuple     # full symmetric kernels per level
+    absN_kernels: tuple    # level0 -> levelN kernels (relative-all mode)
+    dd_kernels: tuple      # direct-downscale kernels per octave
     lvl0_kernel_x: np.ndarray  # dd[0] full kernel (horizontal from input)
     lvl0_kernel_y: np.ndarray  # inc[0] full kernel (vertical from interm)
 
@@ -68,6 +70,13 @@ def build_pyramid_plan(config: SiftConfig, height: int, width: int,
     inc_kernels = tuple(
         full_kernel(tables.inc[l], int(tables.inc_span[l]))
         for l in range(config.total_levels))
+    absN_kernels = tuple(
+        full_kernel(tables.abs_oN[l], int(tables.abs_oN_span[l]))
+        for l in range(config.total_levels))
+    n_oct = config.num_octaves_for(width, height)
+    dd_kernels = tuple(
+        full_kernel(tables.dd[o], int(tables.dd_span[o]))
+        for o in range(n_oct))
     return PyramidPlan(
         config=config,
         in_h=height,
@@ -75,6 +84,8 @@ def build_pyramid_plan(config: SiftConfig, height: int, width: int,
         dims=tuple(config.octave_dims(width, height)),
         shift0=shift0,
         inc_kernels=inc_kernels,
+        absN_kernels=absN_kernels,
+        dd_kernels=dd_kernels,
         lvl0_kernel_x=full_kernel(tables.dd[0], int(tables.dd_span[0])),
         lvl0_kernel_y=full_kernel(tables.inc[0], int(tables.inc_span[0])),
     )
@@ -211,6 +222,33 @@ def _interleave2x2(planes) -> jnp.ndarray:
     return _row_interleave(q0.T, q1.T).T    # [2H, 2W]
 
 
+def _octave_lvl0_from_input(img_u8: jnp.ndarray, plan: PyramidPlan,
+                            octv: int) -> jnp.ndarray:
+    """Direct-scaling path (ScalingMode ScaleDirect): build octave
+    ``octv`` level 0 straight from the input image with the per-octave
+    dd filter (gauss::normalizedSource + dd table,
+    s_pyramid_build.cu:126-160, gauss_filter.cu:227-237). Uses the
+    generic resample (gathers) — direct mode trades speed for accuracy
+    exactly as the reference documents."""
+    oh, ow = plan.dims[octv]
+    sh, sw = plan.in_h, plan.in_w
+    img = img_u8.astype(jnp.float32) / 255.0
+    kx = plan.dd_kernels[octv]
+    pad = (kx.shape[0] - 1) // 2
+    ry = sh / oh
+    rx = sw / ow
+    ys = (np.arange(oh, dtype=np.float64) + plan.shift0) * ry - 0.5
+    xs = (np.arange(-pad, ow + pad, dtype=np.float64)
+          + plan.shift0) * rx - 0.5
+    r = _lerp_rows(img, ys)
+    r = _lerp_rows(r.T, xs).T
+    out = _conv1d_valid(r, kx, axis=1) * 255.0
+    ky = plan.lvl0_kernel_y
+    pady = (ky.shape[0] - 1) // 2
+    out = jnp.pad(out, ((pady, pady), (0, 0)), mode="edge")
+    return _conv1d_valid(out, ky, axis=0)
+
+
 def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
     """Build octave-0 level-0 from the input image.
 
@@ -289,18 +327,29 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
         use_pallas = False
     cfg = plan.config
     total = cfg.total_levels
+    # strategy branches mirroring build_pyramid's dispatch
+    # (s_pyramid_build.cu:460-596): direct scaling builds every octave's
+    # level 0 from the input; VLFeat_Relative_All blurs every level from
+    # level 0 with the absolute filters; default is incremental.
+    direct = cfg.scaling_mode == "direct"
+    relative_all = cfg.gauss_mode == "vlfeat-relative-all"
     blurs = []
     dogs = []
     prev_ds_level = None
     for octv, (oh, ow) in enumerate(plan.dims):
         if octv == 0:
             lvl0 = _octave0_level0(img_u8, plan)
+        elif direct:
+            lvl0 = _octave_lvl0_from_input(img_u8, plan, octv)
         else:
             lvl0 = prev_ds_level[0::2, 0::2][:oh, :ow]
         levels = [lvl0]
         dog_layers = []
         for lvl in range(1, total):
-            if use_pallas:
+            if relative_all:
+                levels.append(_sep_blur(lvl0, plan.absN_kernels[lvl]))
+                dog_layers.append(levels[-1] - levels[-2])
+            elif use_pallas:
                 b, d = blur_and_dog(levels[-1], plan.inc_kernels[lvl])
                 levels.append(b)
                 dog_layers.append(d)
