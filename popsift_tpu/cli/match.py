@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from .demo import build_parser as _demo_parser, config_from_args
+
 
 
 def build_parser():
@@ -22,9 +22,6 @@ def build_parser():
         description="TPU-native SIFT extraction + matching")
     p.add_argument("-l", "--left", required=True, help="left image")
     p.add_argument("-r", "--right", required=True, help="right image")
-    for a in ("--octaves", "--levels", "--sigma", "--threshold",
-              "--downsampling", "--gauss-mode", "--desc-mode"):
-        pass  # re-declared below with the demo defaults
     p.add_argument("--octaves", type=int, default=-1)
     p.add_argument("--levels", type=int, default=3)
     p.add_argument("--sigma", type=float, default=1.6)
