@@ -248,18 +248,38 @@ def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
 
 
 def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
-                        cfg: SiftConfig, chunk: int = 1024) -> jnp.ndarray:
+                        cfg: SiftConfig, chunk: int = 1024,
+                        use_pallas: bool | None = None) -> jnp.ndarray:
     """Unnormalized descriptors f32[F, 128].
 
     Variant dispatch (DescMode, sift_conf.h:59-65): "loop"/"iloop" use the
     dense pixel-scan (reference default, best accuracy); "grid"/"igrid"/
-    "notile" use the fixed 40x40 rotated grid. Evaluation is chunked over
-    jobs to bound the per-chunk intermediates.
+    "notile" use the fixed 40x40 rotated grid. On TPU the loop variant
+    runs as a fused Pallas kernel (ops/pallas/desc.py) — the XLA
+    formulation moves ~18 GB of intermediates per 1080p frame; elsewhere
+    evaluation is chunked over jobs to bound the per-chunk intermediates.
     """
     if cfg.desc_mode in ("loop", "iloop"):
+        from .pallas.desc import desc_pallas_available, descriptor_loop_pallas
+
         radius = loop_patch_radius(cfg)
         img = pad_for_patches(blur, 2 * radius + 1)
         hw = blur.shape[-2:]
+
+        if use_pallas is None:
+            use_pallas = desc_pallas_available()
+        if use_pallas and radius <= 51:
+            from .pallas.desc import descriptor_loop_pallas_dma
+
+            # pad so every aligned 112x256 DMA window fits; extra
+            # rows/cols lie beyond the descriptor support (L2 norm >
+            # 2.5*sqrt(2)) and get zero tile weight
+            H, W = hw
+            Hp = max(-(-(H + 64) // 8) * 8, 112)
+            Wp = max(-(-(W + 208) // 128) * 128, 256)
+            img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                           mode="edge")
+            return descriptor_loop_pallas_dma(img2, jobs, radius, H, W)
 
         def body_fn(j):
             return _descriptor_loop_chunk(img, hw, j, radius)

@@ -53,3 +53,24 @@ def extract_patches(img: jnp.ndarray, level: jnp.ndarray,
 
     patches = jax.vmap(one)(lv, y0, x0)
     return patches, y0, x0
+
+
+def extract_patches_rect(img: jnp.ndarray, level: jnp.ndarray,
+                         cy: jnp.ndarray, cx: jnp.ndarray,
+                         rows: int, cols: int, radius_y: int,
+                         radius_x: int):
+    """Rectangular variant of :func:`extract_patches` with independent
+    window extents — used by the Pallas descriptor kernel, which wants
+    lane-aligned (128-column) windows. The window is placed so the
+    center sits ``radius_y``/``radius_x`` cells from the top-left,
+    clamped to the image."""
+    L, H, W = img.shape
+    y0 = jnp.clip(cy - radius_y, 0, H - rows)
+    x0 = jnp.clip(cx - radius_x, 0, W - cols)
+    lv = jnp.clip(level, 0, L - 1)
+
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(img, (l, y, x), (1, rows, cols))[0]
+
+    patches = jax.vmap(one)(lv, y0, x0)
+    return patches, y0, x0

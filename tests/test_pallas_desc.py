@@ -1,0 +1,81 @@
+"""Pallas descriptor kernel vs the XLA loop-chunk formulation
+(interpret mode on CPU; Mosaic-compiled on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from popsift_tpu.config import SiftConfig
+from popsift_tpu.ops.descriptors import (
+    DescriptorJobs, _descriptor_loop_chunk, loop_patch_radius)
+from popsift_tpu.ops.pallas.desc import descriptor_loop_pallas
+from popsift_tpu.ops.patches import (extract_patches_rect,
+                                     pad_for_patches)
+
+
+def _jobs(rng, F, H, W, cfg):
+    x = rng.uniform(8, W - 8, F).astype(np.float32)
+    y = rng.uniform(8, H - 8, F).astype(np.float32)
+    sigma = rng.uniform(1.2, 2.8, F).astype(np.float32)
+    level = rng.integers(0, 3, F).astype(np.int32)
+    ang = rng.uniform(-np.pi, np.pi, F).astype(np.float32)
+    valid = np.ones(F, bool)
+    valid[-1] = False
+    return DescriptorJobs(
+        x=jnp.asarray(x), y=jnp.asarray(y), sigma=jnp.asarray(sigma),
+        level=jnp.asarray(level), ang=jnp.asarray(ang),
+        kp_index=jnp.arange(F, dtype=jnp.int32),
+        valid=jnp.asarray(valid),
+        count=jnp.int32(F - 1))
+
+
+def test_desc_kernel_matches_chunk(rng):
+    cfg = SiftConfig()
+    H, W = 96, 128
+    L = cfg.total_levels
+    blur = jnp.asarray(
+        rng.normal(64, 32, size=(L, H, W)).astype(np.float32))
+    radius = loop_patch_radius(cfg)
+    img = pad_for_patches(blur, 2 * radius + 1)
+    jobs = _jobs(rng, 16, H, W, cfg)
+
+    want = np.asarray(_descriptor_loop_chunk(img, (H, W), jobs, radius))
+
+    rows = -(-(2 * radius + 1) // 8) * 8
+    cols = -(-(2 * radius + 1) // 128) * 128
+    img2 = pad_for_patches(blur, max(rows, cols))
+    xr = jnp.round(jobs.x).astype(jnp.int32)
+    yr = jnp.round(jobs.y).astype(jnp.int32)
+    patches, y0, x0 = extract_patches_rect(img2, jobs.level, yr, xr,
+                                           rows, cols, radius, radius)
+    got = np.asarray(descriptor_loop_pallas(
+        patches, y0, x0, jobs, H, W, interpret=True))
+
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0))
+    # invalid job must be zero
+    assert np.abs(got[-1]).max() == 0.0
+
+
+def test_desc_dma_kernel_matches_chunk(rng):
+    from popsift_tpu.ops.pallas.desc import descriptor_loop_pallas_dma
+    cfg = SiftConfig()
+    H, W = 96, 128
+    L = cfg.total_levels
+    blur = jnp.asarray(
+        rng.normal(64, 32, size=(L, H, W)).astype(np.float32))
+    radius = loop_patch_radius(cfg)
+    img = pad_for_patches(blur, 2 * radius + 1)
+    jobs = _jobs(rng, 16, H, W, cfg)
+    want = np.asarray(_descriptor_loop_chunk(img, (H, W), jobs, radius))
+
+    Hp = max(-(-(H + 64) // 8) * 8, 112)
+    Wp = max(-(-(W + 208) // 128) * 128, 256)
+    img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+    got = np.asarray(descriptor_loop_pallas_dma(
+        img2, jobs, radius, H, W, interpret=True))
+
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0))
+    assert np.abs(got[-1]).max() == 0.0
