@@ -49,21 +49,15 @@ def max_ori_radius(cfg: SiftConfig) -> int:
     return int(round(3.0 * ORI_WINFACTOR * sigma_max))
 
 
-def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
-                        cfg: SiftConfig) -> OctaveOrientations:
-    """Compute up to 4 orientations for each (padded) extremum.
-
-    Gradient reads go through one contiguous patch per keypoint
-    (extract_patches) instead of per-pixel gathers; the +1 margin on the
-    patch radius covers the central differences.
-    """
+def _orientation_hist_xla(blur, ext, cfg, R):
+    """Histogram via patch extraction + per-bin masked reductions
+    (CPU/fallback path; a one-hot einsum would materialize
+    [K, P*P, 36] ~ 1 GB per image)."""
     L, H, W = blur.shape
     K = ext.x.shape[0]
-    R = max_ori_radius(cfg)
     P = 2 * (R + 1) + 1          # +1 margin for the gradient stencil
 
     img = pad_for_patches(blur, P)
-    Hp, Wp = img.shape[-2:]
 
     xr = jnp.round(ext.x).astype(jnp.int32)   # window center (s_orientation.cu:96-99)
     yr = jnp.round(ext.y).astype(jnp.int32)
@@ -101,15 +95,37 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
                      / np.float32(2.0 * math.pi)).astype(jnp.int32)
     bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
 
-    # histogram via per-bin masked reductions (VPU friendly, no scatter).
-    # A single one-hot einsum materializes [K, P*P, 36] (~1 GB per image
-    # at K=3k, P=49) — the per-bin loop keeps peak memory at [K, P*P]
-    # and XLA fuses each compare+select+reduce into one pass.
     wflat = weight.reshape(K, P * P)
     bflat = bidx.reshape(K, P * P)
-    hist = jnp.stack(
+    return jnp.stack(
         [jnp.sum(jnp.where(bflat == b, wflat, 0.0), axis=1)
          for b in range(ORI_NBINS)], axis=1)
+
+
+def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
+                        cfg: SiftConfig,
+                        use_pallas: bool | None = None
+                        ) -> OctaveOrientations:
+    """Compute up to 4 orientations for each (padded) extremum.
+
+    Gradient reads go through one contiguous window per keypoint instead
+    of per-pixel gathers; on TPU the histogram runs as a Pallas kernel
+    with in-kernel window DMA (ops/pallas/orient.py).
+    """
+    from .pallas.orient import orientation_hist_pallas, ori_pallas_available
+
+    L, H, W = blur.shape
+    R = max_ori_radius(cfg)
+    if use_pallas is None:
+        use_pallas = ori_pallas_available()
+    if use_pallas and R <= 26:
+        Hp = max(-(-(H + 40) // 8) * 8, 64)
+        Wp = max(-(-(W + 240) // 128) * 128, 256)
+        img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       mode="edge")
+        hist = orientation_hist_pallas(img2, ext, R, H, W)
+    else:
+        hist = _orientation_hist_xla(blur, ext, cfg, R)
 
     # VLFeat smoothing: 3 x (two circular box-3 passes)
     for _ in range(6):

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: orientation histograms.
+
+Reference: one CUDA block per extremum accumulating a 36-bin gradient
+histogram in shared memory (s_orientation.cu:60-140). The XLA
+formulation extracts [K, 49, 49] patches to HBM and reads them back
+through per-bin masked reductions (~9 ms/frame). This kernel DMAs each
+keypoint's window straight from the blur stack (same aligned-window +
+dynamic-roll scheme as the descriptor kernel) and accumulates the
+histogram in VMEM. Peak smoothing/refinement stays in XLA — it is a
+[K, 36] problem.
+
+Returns raw (unsmoothed) histograms; semantics match the histogram
+section of ops.orientation.assign_orientations exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ORI_NBINS, ORI_WINFACTOR
+from .desc import _atan2
+
+_G = 8
+_WR = 64    # DMA window rows (56-row patch + 8-row alignment slack)
+_WC = 256   # DMA window cols (128-col patch + 128-lane slack)
+_P = 56     # patch rows
+_PL = 128   # patch cols
+
+
+def _ori_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
+                out_ref, scratch, sems, *, H, W):
+    """par_ref f32[G, 8]: (x, y, sigma, valid, y0, x0, xr, yr)."""
+    G = _G
+    P, PL = _P, _PL
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def dma(step, to_slot, g):
+        j = step * G + g
+        y0a = pl.multiple_of(ya_ref[j], 8)
+        c0a = pl.multiple_of(ca_ref[j], 128)
+        return pltpu.make_async_copy(
+            blur_hbm.at[lv_ref[j], pl.ds(y0a, _WR), pl.ds(c0a, _WC)],
+            scratch.at[to_slot, g],
+            sems.at[to_slot, g])
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(G):
+            dma(0, 0, g).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for g in range(G):
+            dma(i + 1, jax.lax.rem(i + 1, 2), g).start()
+
+    patches = []
+    for g in range(G):
+        dma(i, slot, g).wait()
+        pk = pk_ref[i * G + g]
+        ry = jax.lax.div(pk, 256)
+        rx = jax.lax.rem(pk, 256)
+        w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 0),
+                       _WC - rx, 1)
+        patches.append(w[:P, :PL])
+    patch = jnp.stack(patches)                  # [G, P, PL]
+    par = par_ref[:]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (P, PL), 0).astype(
+        jnp.float32)[None]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (P, PL), 1).astype(
+        jnp.float32)[None]
+    x0 = par[:, 5][:, None, None]
+    y0 = par[:, 4][:, None, None]
+    xx = x0 + jj
+    yy = y0 + ii
+
+    zero_col = jnp.zeros((G, P, 1), jnp.float32)
+    dxv = (jnp.concatenate([patch[:, :, 1:], zero_col], axis=2)
+           - jnp.concatenate([zero_col, patch[:, :, :-1]], axis=2))
+    zero_row = jnp.zeros((G, 1, PL), jnp.float32)
+    dyv = (jnp.concatenate([patch[:, 1:, :], zero_row], axis=1)
+           - jnp.concatenate([zero_row, patch[:, :-1, :]], axis=1))
+    grad = jnp.sqrt(dxv * dxv + dyv * dyv)
+    theta = _atan2(dyv, dxv)
+
+    sig = par[:, 2][:, None, None]
+    sigw = np.float32(ORI_WINFACTOR) * sig
+    rad = jnp.round(3.0 * sigw)
+    factor = np.float32(-0.5) / (sigw * sigw + np.float32(1e-30))
+    sq_thres = rad * rad
+    xr = par[:, 6][:, None, None]
+    yr = par[:, 7][:, None, None]
+
+    inb = ((jnp.abs(xx - xr) <= rad) & (jnp.abs(yy - yr) <= rad)
+           & (xx >= 1.0) & (xx <= W - 2.0)
+           & (yy >= 1.0) & (yy <= H - 2.0))
+    fdx = xx - par[:, 0][:, None, None]
+    fdy = yy - par[:, 1][:, None, None]
+    sq = jnp.floor(fdx * fdx + fdy * fdy)
+    inb = inb & (sq <= sq_thres)
+    inb = inb & (par[:, 3][:, None, None] > 0.5)
+
+    weight = jnp.where(inb, grad * jnp.exp(sq * factor), 0.0)
+
+    bidx = jnp.round(
+        np.float32(ORI_NBINS) * (theta + np.float32(math.pi))
+        / np.float32(2.0 * math.pi)).astype(jnp.int32)
+    bidx = jnp.where(bidx == ORI_NBINS, 0, bidx)
+
+    # 36 masked reductions per job block
+    for g in range(_G):
+        h = [jnp.sum(jnp.where(bidx[g] == b, weight[g], 0.0))
+             for b in range(ORI_NBINS)]
+        out_ref[g, :] = jnp.stack(h)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _ori_call(lv, ya, ca, pk, params, blur, H, W, interpret=False):
+    F = params.shape[0]
+    grid = (F // _G,)
+    kernel = functools.partial(_ori_kernel, H=H, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_G, 8), lambda i, *s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((_G, ORI_NBINS), lambda i, *s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _G, _WR, _WC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _G)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, ORI_NBINS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lv, ya, ca, pk, params, blur)
+
+
+def orientation_hist_pallas(blur, ext, radius: int, H, W,
+                            interpret: bool = False):
+    """Raw 36-bin orientation histograms for the padded extrema buffer.
+
+    blur: f32[L, Hb, Wb] edge-padded so aligned 64x256 windows fit
+    (caller pads, see ops.orientation). radius: max window radius
+    (must be <= 26 so the 56-row/128-col patch covers radius+1)."""
+    L, Hb, Wb = blur.shape
+    K = ext.x.shape[0]
+    pad = (-K) % _G
+
+    xr = jnp.round(ext.x).astype(jnp.int32)
+    yr = jnp.round(ext.y).astype(jnp.int32)
+    y0 = jnp.clip(yr - (radius + 1), 0, Hb - _WR)
+    x0 = jnp.clip(xr - (radius + 1), 0, Wb - _WC)
+    y0a = (y0 // 8) * 8
+    c0a = (x0 // 128) * 128
+    lv = jnp.clip(ext.level, 0, L - 1).astype(jnp.int32)
+    pk = ((y0 - y0a) * 256 + (x0 - c0a)).astype(jnp.int32)
+    params = jnp.stack([
+        ext.x, ext.y, ext.sigma,
+        ext.valid.astype(jnp.float32),
+        y0.astype(jnp.float32), x0.astype(jnp.float32),
+        xr.astype(jnp.float32), yr.astype(jnp.float32)], axis=1)
+    if pad:
+        lv, y0a, c0a, pk = (jnp.pad(a, (0, pad))
+                            for a in (lv, y0a, c0a, pk))
+        params = jnp.pad(params, ((0, pad), (0, 0)))
+    out = _ori_call(lv, y0a.astype(jnp.int32), c0a.astype(jnp.int32),
+                    pk, params, blur, H, W, interpret=interpret)
+    return out[:K]
+
+
+def ori_pallas_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

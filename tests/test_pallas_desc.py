@@ -79,3 +79,43 @@ def test_desc_dma_kernel_matches_chunk(rng):
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0))
     assert np.abs(got[-1]).max() == 0.0
+
+
+def test_orientation_hist_pallas_matches_xla(rng):
+    from popsift_tpu.ops.extrema import OctaveExtrema
+    from popsift_tpu.ops.orientation import (_orientation_hist_xla,
+                                             max_ori_radius)
+    from popsift_tpu.ops.pallas.orient import orientation_hist_pallas
+
+    cfg = SiftConfig()
+    H, W = 96, 160
+    L = cfg.total_levels
+    blur = jnp.asarray(
+        rng.normal(96, 40, size=(L, H, W)).astype(np.float32))
+    K = 16
+    valid = np.ones(K, bool)
+    valid[-2:] = False
+    ext = OctaveExtrema(
+        x=jnp.asarray(rng.uniform(3, W - 3, K).astype(np.float32)),
+        y=jnp.asarray(rng.uniform(3, H - 3, K).astype(np.float32)),
+        s=jnp.zeros(K, jnp.float32),
+        level=jnp.asarray(rng.integers(0, 3, K).astype(np.int32)),
+        sigma=jnp.asarray(rng.uniform(1.2, 3.0, K).astype(np.float32)),
+        cell=jnp.zeros(K, jnp.int32),
+        valid=jnp.asarray(valid),
+        count=jnp.int32(K - 2),
+        n_candidates=jnp.int32(K))
+
+    R = max_ori_radius(cfg)
+    want = np.array(_orientation_hist_xla(blur, ext, cfg, R))
+    # the XLA path doesn't mask invalid rows (done later via ext.valid);
+    # zero them for comparison
+    want[~valid] = 0.0
+
+    Hp = max(-(-(H + 40) // 8) * 8, 64)
+    Wp = max(-(-(W + 240) // 128) * 128, 256)
+    img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+    got = np.asarray(orientation_hist_pallas(img2, ext, R, H, W,
+                                             interpret=True))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale)
