@@ -60,35 +60,47 @@ def _neighbor_offsets():
     return offs
 
 
-def _candidate_mask(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+def _first_threshold(cfg: SiftConfig) -> float:
+    """First-contrast gate: popsift 1.6*thr (s_extrema.cu:253-256),
+    vlfeat 0.8*2*thr == 1.6*thr (:201-204), opencv floor(thr)."""
+    thr = cfg.peak_threshold
+    if cfg.sift_mode in ("popsift", "vlfeat"):
+        return 1.6 * thr
+    return float(np.floor(thr))
+
+
+def _candidate_mask(dog: jnp.ndarray, cfg: SiftConfig,
+                    use_pallas: bool | None = None) -> jnp.ndarray:
     """Dense mask of pixels passing contrast + strict 26-neighbor test.
 
     Layers z = 1 .. total_levels-3 are searched (grid.z = levels-3 with
     level = block_z + 1, s_extrema.cu:329-334). Edge-replication padding
     reproduces the clamped-texture behavior that silently excludes the
-    outermost pixels (val > val is false).
+    outermost pixels (val > val is false). On TPU the stencil runs as a
+    Pallas kernel (one VMEM pass instead of 26 HBM read streams).
     """
+    from .pallas.extrema_mask import candidate_mask_pallas, mask_pallas_available
+
     Z = cfg.total_levels - 3
     D, H, W = dog.shape
-    c = dog[1:Z + 1]
+    thr1 = np.float32(_first_threshold(cfg))
 
-    thr = np.float32(cfg.peak_threshold)
-    if cfg.sift_mode in ("popsift", "vlfeat"):
-        # popsift: 1.6*thr (s_extrema.cu:253-256);
-        # vlfeat: 0.8*2*thr == 1.6*thr (s_extrema.cu:201-204)
-        first = jnp.abs(c) >= np.float32(1.6) * thr
+    if use_pallas is None:
+        use_pallas = mask_pallas_available()
+    if use_pallas:
+        mask = candidate_mask_pallas(dog[:Z + 2], float(thr1))
     else:
-        first = jnp.abs(c) >= np.float32(np.floor(thr))
-
-    dogp = jnp.pad(dog, ((1, 1), (1, 1), (1, 1)), mode="edge")
-    gt = jnp.ones_like(c, dtype=bool)
-    lt = jnp.ones_like(c, dtype=bool)
-    for dz, dy, dx in _neighbor_offsets():
-        nb = jax.lax.dynamic_slice(
-            dogp, (1 + 1 + dz, 1 + dy, 1 + dx), (Z, H, W))
-        gt = gt & (c > nb)
-        lt = lt & (c < nb)
-    mask = first & (gt | lt)
+        c = dog[1:Z + 1]
+        first = jnp.abs(c) >= thr1
+        dogp = jnp.pad(dog, ((1, 1), (1, 1), (1, 1)), mode="edge")
+        gt = jnp.ones_like(c, dtype=bool)
+        lt = jnp.ones_like(c, dtype=bool)
+        for dz, dy, dx in _neighbor_offsets():
+            nb = jax.lax.dynamic_slice(
+                dogp, (1 + 1 + dz, 1 + dy, 1 + dx), (Z, H, W))
+            gt = gt & (c > nb)
+            lt = lt & (c < nb)
+        mask = first & (gt | lt)
 
     if cfg.sift_mode == "opencv":
         # OpenCV rejects a 5-pixel border outright (s_extrema.cu:336-340)

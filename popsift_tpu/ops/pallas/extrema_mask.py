@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: DoG extrema candidate mask (26-neighbor test).
+
+Reference: find_extrema_in_dog's grouped short-circuit neighbor test
+(s_extrema.cu:56-120). The XLA formulation expresses the 26 comparisons
+as dynamic-slices of the padded DoG — each is a separate HBM read
+stream (~2.6 GB/frame, ~9 ms). This stencil reads each DoG row tile
+once into VMEM and evaluates all comparisons there.
+
+Output is the f32 0/1 mask (bool layouts are awkward across the Mosaic
+ABI); callers threshold at 0.5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TH = 32  # output rows per grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _mask_kernel(dog_hbm, out_ref, scratch, sems, *, D, Z, W, Wo, thr1):
+    """Grid step i covers output rows [i*TH, i*TH+TH).
+
+    dog_hbm: f32[D, Ho+2, Wp] (rows/cols edge-padded by 1, rows padded
+    to 8-aligned tiles); scratch: VMEM [2, D, TH+8, Wp]; out_ref
+    [Z, TH, Wo] f32 0/1.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    TH = _TH
+    slot = jax.lax.rem(i, 2)
+
+    def dma(step, to_slot):
+        # rows [step*TH, step*TH + TH + 8): the +-1 halo lives in the
+        # first/last +8 alignment slack (input is padded by 1 + tail)
+        return pltpu.make_async_copy(
+            dog_hbm.at[:, pl.ds(step * TH, TH + 8), :],
+            scratch.at[to_slot],
+            sems.at[to_slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    dma(i, slot).wait()
+    x = scratch[slot]                         # [D, TH+8, Wp]
+
+    for z in range(1, Z + 1):
+        c = x[z, 1:TH + 1, 1:Wo + 1]
+        first = jnp.abs(c) >= thr1
+        gt = first
+        lt = first
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dz == 0 and dy == 0 and dx == 0:
+                        continue
+                    nb = x[z + dz, 1 + dy:1 + dy + TH,
+                           1 + dx:1 + dx + Wo]
+                    gt = gt & (c > nb)
+                    lt = lt & (c < nb)
+        out_ref[z - 1] = (gt | lt).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("Z", "Wo", "thr1",
+                                             "interpret"))
+def _mask_call(dogp, Z, Wo, thr1, interpret=False):
+    D, Hp, Wp = dogp.shape                    # Hp = Ho + 8 (halo+slack)
+    TH = _TH
+    Ho = Hp - 8
+    grid = (Ho // TH,)
+    kernel = functools.partial(_mask_kernel, D=D, Z=Z, W=Wo, Wo=Wo,
+                               thr1=thr1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((Z, TH, Wo), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Z, Ho, Wo), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, D, TH + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dogp)
+
+
+def candidate_mask_pallas(dog: jnp.ndarray, thr1: float,
+                          interpret: bool = False) -> jnp.ndarray:
+    """26-neighbor strict extremum mask for layers 1..D-2.
+
+    dog: f32[D, H, W]; thr1: first-contrast threshold (|c| >= thr1).
+    Returns bool[D-2, H, W]. Edge-replicated borders reproduce the
+    clamped-texture behavior (border pixels always fail the strict
+    test).
+    """
+    D, H, W = dog.shape
+    Z = D - 2
+    Ho = _round_up(H, _TH)
+    Wo = _round_up(W, 128)
+    Wp = _round_up(Wo + 2, 128)
+    # rows: 1 top halo + (Ho - H + 7) bottom (halo + alignment slack);
+    # the kernel reads [TH + 8] rows per tile so the last tile stays in
+    # range: Ho - TH + TH + 8 = Ho + 8 = Hp.
+    dogp = jnp.pad(dog, ((0, 0), (1, Ho - H + 7), (1, Wp - W - 1)),
+                   mode="edge")
+    out = _mask_call(dogp, Z, Wo, float(thr1), interpret=interpret)
+    return (out[:, :H, :W] > 0.5)
+
+
+def mask_pallas_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

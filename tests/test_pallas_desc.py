@@ -119,3 +119,17 @@ def test_orientation_hist_pallas_matches_xla(rng):
                                              interpret=True))
     scale = max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, atol=3e-5 * scale)
+
+
+def test_candidate_mask_pallas_matches_xla(rng):
+    from popsift_tpu.ops.extrema import _candidate_mask
+    from popsift_tpu.ops.pallas.extrema_mask import candidate_mask_pallas
+
+    cfg = SiftConfig()
+    D, H, W = cfg.total_levels - 1, 96, 160
+    dog = jnp.asarray(rng.normal(0, 3, size=(D, H, W)).astype(np.float32))
+    want = np.asarray(_candidate_mask(dog, cfg, use_pallas=False))
+    from popsift_tpu.ops.extrema import _first_threshold
+    got = np.asarray(candidate_mask_pallas(
+        dog[:want.shape[0] + 2], _first_threshold(cfg), interpret=True))
+    np.testing.assert_array_equal(got, want)
