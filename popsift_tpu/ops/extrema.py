@@ -216,12 +216,22 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
     # patch element.
     R = MAX_ITERATIONS                      # 4 moves + 1 derivative halo
     P = 2 * R + 1
-    dogp = jnp.pad(dog, ((0, 0), (R, R), (R, R)), mode="edge")
+    from .pallas.window import extract_windows_pallas, window_pallas_available
+    if window_pallas_available():
+        # aligned-window DMA extractor: the XLA gather of [D, 11, 11]
+        # blocks moves 44-byte rows at ~1.5 GB/s (~5 ms per octave)
+        Wpad = -(-(W + R + 256) // 128) * 128
+        dogp = jnp.pad(dog, ((0, 0), (R, R + 16), (R, Wpad - W - R)),
+                       mode="edge")
+        patches, _, _ = extract_windows_pallas(
+            dogp, y0 + R, x0 + R, R, P, P)
+    else:
+        dogp = jnp.pad(dog, ((0, 0), (R, R), (R, R)), mode="edge")
 
-    def one_patch(y, x):
-        return jax.lax.dynamic_slice(dogp, (0, y, x), (D, P, P))
+        def one_patch(y, x):
+            return jax.lax.dynamic_slice(dogp, (0, y, x), (D, P, P))
 
-    patches = jax.vmap(one_patch)(y0, x0)      # [K, D, P, P]
+        patches = jax.vmap(one_patch)(y0, x0)  # [K, D, P, P]
     K = capacity
 
     def neighborhood(nz, oy, ox):

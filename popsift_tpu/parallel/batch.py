@@ -38,8 +38,13 @@ def make_batched_extract_fn(cfg: SiftConfig, height: int, width: int,
     n = mesh.shape[axis_name]
 
     def local_fn(imgs):
-        feats = jax.vmap(lambda im: extract(im, plan,
-                                            desc_chunk=desc_chunk))(imgs)
+        # scan (not vmap) over the local shard: the Pallas kernels and
+        # patch gathers do not support a vmapped batch dim (and vmapped
+        # gathers trigger batch-minor relayouts); DP throughput comes
+        # from the mesh axis, per-device frames run back-to-back.
+        def body(_, im):
+            return 0, extract(im, plan, desc_chunk=desc_chunk)
+        _, feats = jax.lax.scan(body, 0, imgs)
         if not match_pairs:
             return feats, None
 

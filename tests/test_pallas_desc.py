@@ -133,3 +133,24 @@ def test_candidate_mask_pallas_matches_xla(rng):
     got = np.asarray(candidate_mask_pallas(
         dog[:want.shape[0] + 2], _first_threshold(cfg), interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_window_extractor_matches_gather(rng):
+    from popsift_tpu.ops.pallas.window import extract_windows_pallas
+
+    D, H, W = 5, 64, 96
+    vol = jnp.asarray(rng.normal(size=(D, H, W)).astype(np.float32))
+    R, P = 5, 11
+    Wpad = -(-(W + R + 256) // 128) * 128
+    volp = jnp.pad(vol, ((0, 0), (R, R + 16), (R, Wpad - W - R)),
+                   mode="edge")
+    K = 16
+    cy = jnp.asarray(rng.integers(0, H, K).astype(np.int32))
+    cx = jnp.asarray(rng.integers(0, W, K).astype(np.int32))
+    got, y0, x0 = extract_windows_pallas(volp, cy + R, cx + R, R, P, P,
+                                         interpret=True)
+    got = np.asarray(got)
+    vp = np.asarray(volp)
+    for k in range(K):
+        ref = vp[:, int(y0[k]):int(y0[k]) + P, int(x0[k]):int(x0[k]) + P]
+        np.testing.assert_array_equal(got[k], ref)
