@@ -65,14 +65,14 @@ def _atan2(y, x):
 
 def _desc_kernel(par_ref, patch_ref, out_ref, *, P, PL, H, W):
     """par_ref f32[G, 8]: (x, y, sigma, ang, y0, x0, valid, unused).
-    patch_ref f32[G, P, PL] (PL lane-aligned); out_ref f32[G, 32, 4]
-    laid out as ((ty, b), tx)."""
+    patch_ref f32[G, P, PL] (PL lane-aligned); out_ref
+    f32[G, 8, 16] laid out as (b, (ty, tx))."""
     _desc_math(patch_ref[:], par_ref[:], out_ref, P=P, PL=PL, H=H, W=W)
 
 
 def _desc_math(patch, par, out_ref, *, P, PL, H, W):
     """Shared per-pixel pipeline + histogram contraction.
-    patch f32[G, P, PL]; par f32[G, 8]; writes out_ref [G, 32, 4]."""
+    patch f32[G, P, PL]; par f32[G, 8]; writes out_ref [G, 8, 16]."""
     G = _G
 
     # per-pixel image coordinates (2-D iota only; Mosaic rejects 3-D)
@@ -139,7 +139,10 @@ def _desc_math(patch, par, out_ref, *, P, PL, H, W):
 
     # Histogram contraction per job on the MXU. Mosaic supports merging
     # a lane-aligned (P, PL) pixel field into one contraction axis via
-    # reshape; M[(ty,b), p] = wy_ty*cb_b and desc[(ty,b), tx] = M @ wx^T.
+    # reshape. Factoring as (wy x wx)[16, p] against cb[8, p] minimizes
+    # the VMEM build traffic (the 3-way product admits no 2-dot
+    # factorization, so one [16, p] or [32, p] operand must
+    # materialize; 16 beats 32).
     bins4 = jax.lax.broadcasted_iota(jnp.int32, (4, P, PL), 0)
     bins8 = jax.lax.broadcasted_iota(jnp.int32, (DESC_BINS, P, PL), 0)
     cents = bins4.astype(jnp.float32) - np.float32(1.5)
@@ -149,11 +152,11 @@ def _desc_math(patch, par, out_ref, *, P, PL, H, W):
         cb = wgt[g][None] * (
             jnp.where(fo0[g][None] == bins8, 1.0 - frac[g][None], 0.0)
             + jnp.where(fo1[g][None] == bins8, frac[g][None], 0.0))
-        M = (wy[:, None] * cb[None]).reshape(32, P * PL)
+        wyx = (wy[:, None] * wx[None]).reshape(16, P * PL)
         desc = jax.lax.dot_general(
-            M, wx.reshape(4, P * PL),
+            cb.reshape(DESC_BINS, P * PL), wyx,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [32, 4]
+            preferred_element_type=jnp.float32)             # [8, 16]
         out_ref[g] = desc
 
 
@@ -172,9 +175,9 @@ def _desc_call(params, patches, P, PL, H, W, interpret=False):
             pl.BlockSpec((_G, P, PL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_G, 32, 4), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((_G, DESC_BINS, 16), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, 32, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, DESC_BINS, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -201,8 +204,8 @@ def descriptor_loop_pallas(patches, y0, x0, jobs, H, W,
         params = jnp.pad(params, ((0, pad), (0, 0)))
         patches = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
     out = _desc_call(params, patches, P, PL, H, W, interpret=interpret)
-    # [(ty, b), tx] -> (ty, tx, b) flat 128
-    out = out.reshape(-1, 4, DESC_BINS, 4).transpose(0, 1, 3, 2)
+    # [b, (ty, tx)] -> (ty, tx, b) flat 128
+    out = out.reshape(-1, DESC_BINS, 4, 4).transpose(0, 2, 3, 1)
     return out.reshape(-1, 128)[:F]
 
 
@@ -271,7 +274,7 @@ def _desc_dma_call(lv, ya, ca, pk, params, blur, P, PL, H, W,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((_G, 32, 4), lambda i, *s: (i, 0, 0),
+        out_specs=pl.BlockSpec((_G, DESC_BINS, 16), lambda i, *s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, _G, _WR, _WC), jnp.float32),
@@ -281,7 +284,7 @@ def _desc_dma_call(lv, ya, ca, pk, params, blur, P, PL, H, W,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, 32, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, DESC_BINS, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -323,7 +326,8 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
     out = _desc_dma_call(lv, y0a.astype(jnp.int32),
                          c0a.astype(jnp.int32), pk, params, blur,
                          P, PL, H, W, interpret=interpret)
-    out = out.reshape(-1, 4, DESC_BINS, 4).transpose(0, 1, 3, 2)
+    # [b, (ty, tx)] -> (ty, tx, b) flat 128
+    out = out.reshape(-1, DESC_BINS, 4, 4).transpose(0, 2, 3, 1)
     return out.reshape(-1, 128)[:F]
 
 
