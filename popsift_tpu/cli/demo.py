@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--log", action="store_true",
                    help="dump pyramid/DoG PGMs like the reference --log")
     p.add_argument("--log-dir", default="dir-log")
+    p.add_argument("--print-gauss-tables", action="store_true",
+                   help="dump the Gaussian filter banks (gauss_filter.cu:24-121)")
+    p.add_argument("--print-dev-info", action="store_true",
+                   help="print device capabilities (device_prop.cu:35-65)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -83,8 +87,27 @@ def main(argv=None):
     from popsift_tpu.api import PopSift
     from popsift_tpu.io.image import load_image
 
+    if args.print_dev_info:
+        from popsift_tpu.utils.device import device_report
+        device_report()
+
     img = load_image(args.input)
     cfg = config_from_args(args)
+
+    if args.print_gauss_tables:
+        from popsift_tpu.gauss import build_gauss_tables
+        t = build_gauss_tables(cfg)
+        for name, sig, spn, fil in (("inc", t.inc_sigma, t.inc_span, t.inc),
+                                    ("abs_o0", t.abs_o0_sigma,
+                                     t.abs_o0_span, t.abs_o0),
+                                    ("abs_oN", t.abs_oN_sigma,
+                                     t.abs_oN_span, t.abs_oN)):
+            print(f"{name}:")
+            for lvl in range(cfg.total_levels):
+                taps = " ".join(f"{v:.6f}" for v in
+                                fil[lvl][:int(spn[lvl])])
+                print(f"  level {lvl}: sigma {float(sig[lvl]):.6f} "
+                      f"span {int(spn[lvl])}: {taps}")
     ps = PopSift(cfg)
 
     t0 = time.perf_counter()
