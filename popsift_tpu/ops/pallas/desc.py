@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import DESC_BINS, DESC_MAGNIFY
 
-_G = 8  # jobs per grid step
+_G = 16  # jobs per grid step
 
 # Mosaic has no atan/atan2 primitive; fit an odd polynomial for
 # atan(t) on [0, 1] (least-squares over odd powers t..t^15, max error
