@@ -149,3 +149,30 @@ def test_make_jobs_flattening(small_image):
         kp = int(jobs.kp_index[i])
         assert bool(ext.valid[kp])
         assert float(jobs.sigma[i]) == float(ext.sigma[kp])
+
+
+def test_variant_cross_consistency(small_image):
+    """Cross-variant agreement (the reference ships TEST.sh to compare
+    descriptor variants pairwise, testScripts/TEST.sh:19-73): grid and
+    loop formulations must produce strongly correlated descriptors for
+    the same keypoints."""
+    import jax
+    from popsift_tpu.config import SiftConfig
+    from popsift_tpu.pipeline import build_extract_plan, extract
+
+    h, w = small_image.shape
+    descs = {}
+    for mode in ("loop", "grid"):
+        cfg = SiftConfig(octaves=3, desc_mode=mode, extrema_capacity=256)
+        plan = build_extract_plan(cfg, h, w)
+        out = jax.jit(lambda x: extract(x, plan))(small_image)
+        valid = np.asarray(out.desc_valid)
+        descs[mode] = np.asarray(out.desc)[valid]
+    n = min(len(descs["loop"]), len(descs["grid"]))
+    assert n >= 3
+    a, b = descs["loop"][:n], descs["grid"][:n]
+    # same job ordering: compare row-wise cosine similarity
+    num = (a * b).sum(1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
+    cos = num / den
+    assert np.median(cos) > 0.9, np.median(cos)
