@@ -74,10 +74,13 @@ def match_descriptors(desc_l: jnp.ndarray, valid_l: jnp.ndarray,
         d2 = l_sq + r_sq[None, :] - 2.0 * cross
         d2 = jnp.where(vtile[None, :], d2, jnp.inf)
 
-        # best + second within the tile
+        # best + second within the tile (mask the argmin column with a
+        # compare instead of a scatter — .at[].set lowers to a scatter
+        # that dominates the whole matmul on TPU)
         t_best = jnp.min(d2, axis=1)
         t_bidx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        d2_wo = d2.at[jnp.arange(L), t_bidx].set(jnp.inf)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        d2_wo = jnp.where(cols == t_bidx[:, None], jnp.inf, d2)
         t_sec = jnp.min(d2_wo, axis=1)
         t_sidx = jnp.argmin(d2_wo, axis=1).astype(jnp.int32)
         t_bidx = t_bidx + base
@@ -107,7 +110,8 @@ def match_brute_small(desc_l, valid_l, desc_r, valid_r, ratio=RATIO):
     d2 = jnp.where(valid_r[None, :], d2, jnp.inf)
     b_i = jnp.argmin(d2, axis=1).astype(jnp.int32)
     b_d = jnp.min(d2, axis=1)
-    d2w = d2.at[jnp.arange(d2.shape[0]), b_i].set(jnp.inf)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2w = jnp.where(cols == b_i[:, None], jnp.inf, d2)
     s_i = jnp.argmin(d2w, axis=1).astype(jnp.int32)
     s_d = jnp.min(d2w, axis=1)
     accept = (b_d / jnp.maximum(s_d, 1e-30) < ratio) & valid_l \

@@ -1,0 +1,84 @@
+"""Roofline check for the SfM hot kernels: brute-force matching and the
+Schur-complement BA step (BASELINE.md: "BA / matching kernels
+speed-of-light per chip, MXU-bound matmuls, roofline-verified").
+
+Prints one JSON line per kernel with achieved TFLOP/s.
+
+    python scripts/bench_sfm_kernels.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcc")
+
+    from popsift_tpu.ops.matching import match_descriptors
+    from popsift_tpu.sfm.ba import BAProblem, schur_cg_step
+
+    results = []
+
+    # --- matching: L=R=16384 descriptors (an SfM-scale image pair) ----
+    L = R = 16384
+    key = jax.random.PRNGKey(0)
+    dl = jax.random.normal(key, (L, 128), jnp.float32)
+    dr = jax.random.normal(jax.random.PRNGKey(1), (R, 128), jnp.float32)
+    vl = jnp.ones(L, bool)
+    vr = jnp.ones(R, bool)
+
+    fn = jax.jit(lambda a, b: match_descriptors(a, vl, b, vr).best_dist)
+    np.asarray(fn(dl, dr))
+    reps = 10
+    t0 = time.perf_counter()
+    outs = [fn(dl + i * 1e-30, dr) for i in range(reps)]
+    [np.asarray(o) for o in outs]
+    dt = (time.perf_counter() - t0) / reps
+    flops = 2.0 * L * R * 128          # the distance matmul dominates
+    results.append({
+        "metric": "match_16k_x_16k", "value": round(dt * 1000, 2),
+        "unit": "ms", "tflops": round(flops / dt / 1e12, 2),
+        "pairs_per_s": round(1.0 / dt, 1)})
+
+    # --- BA: one damped GN step, 100 cams / 40k points / 200k obs -----
+    rng = np.random.default_rng(0)
+    nc, npts, nobs = 100, 40_000, 200_000
+    prob = BAProblem(
+        cams=jnp.asarray(rng.normal(0, 0.1, (nc, 6)), jnp.float32),
+        points=jnp.asarray(rng.uniform([-5, -5, 5], [5, 5, 30],
+                                       (npts, 3)), jnp.float32),
+        intr=jnp.asarray([1000.0, 1000.0, 960.0, 540.0], jnp.float32),
+        obs_cam=jnp.asarray(rng.integers(0, nc, nobs), jnp.int32),
+        obs_pt=jnp.asarray(rng.integers(0, npts, nobs), jnp.int32),
+        obs_uv=jnp.asarray(rng.normal(960, 200, (nobs, 2)), jnp.float32),
+        obs_valid=jnp.ones(nobs, bool),
+        cam_fixed=jnp.asarray([True] + [False] * (nc - 1)))
+
+    step = jax.jit(lambda p: schur_cg_step(p, jnp.float32(1e-3),
+                                           cg_iters=20)[2])
+    np.asarray(step(prob))
+    reps = 5
+    t0 = time.perf_counter()
+    outs = [step(prob._replace(points=prob.points + i * 1e-30))
+            for i in range(reps)]
+    [np.asarray(o) for o in outs]
+    dt = (time.perf_counter() - t0) / reps
+    results.append({
+        "metric": "ba_gn_step_100c_40kp_200kobs",
+        "value": round(dt * 1000, 2), "unit": "ms",
+        "obs_per_s": round(nobs / dt / 1e6, 2)})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
