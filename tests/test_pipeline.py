@@ -91,3 +91,30 @@ def test_grid_filter_budget(small_image):
     host_off = PopSift(cfg_off).enqueue(small_image).get()
     assert host.getFeatureCount() <= 4
     assert host_off.getFeatureCount() > host.getFeatureCount()
+
+
+def test_scan_batched_extraction(small_image):
+    """The production batching mode (lax.scan over frames, bench.py)
+    must produce per-frame results identical to single calls."""
+    import jax
+    import jax.numpy as jnp
+    from popsift_tpu.config import SiftConfig
+    from popsift_tpu.pipeline import build_extract_plan, extract
+
+    h, w = small_image.shape
+    cfg = SiftConfig(octaves=3, extrema_capacity=128)
+    plan = build_extract_plan(cfg, h, w)
+    imgs = np.stack([small_image, 255 - small_image])
+
+    def scanfn(xs):
+        def body(_, im):
+            out = extract(im, plan)
+            return 0, (out.n_keypoints, jnp.sum(out.desc))
+        return jax.lax.scan(body, 0, xs)[1]
+
+    nk, ds = jax.jit(scanfn)(jnp.asarray(imgs))
+    for i in range(2):
+        ref = jax.jit(lambda x: extract(x, plan))(imgs[i])
+        assert int(nk[i]) == int(ref.n_keypoints)
+        np.testing.assert_allclose(float(ds[i]),
+                                   float(jnp.sum(ref.desc)), rtol=1e-5)
