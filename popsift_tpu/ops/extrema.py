@@ -228,7 +228,7 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
         dogp = jnp.pad(dog, ((0, 0), (R, R + 16), (R, Wpad - W - R)),
                        mode="edge")
         patches, _, _ = extract_windows_pallas(
-            dogp, y0 + R, x0 + R, R, P, P)
+            dogp, y0 + R, x0 + R, R, P, P, n_valid=n_found)
     else:
         dogp = jnp.pad(dog, ((0, 0), (R, R), (R, R)), mode="edge")
 

@@ -213,10 +213,13 @@ _WR = 112   # DMA window rows (104 patch rows + 8-row alignment slack)
 _WC = 256   # DMA window cols (128 patch cols + 128-lane alignment slack)
 
 
-def _desc_dma_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
-                     out_ref, scratch, sems, *, P, PL, H, W):
+def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
+                     blur_hbm, out_ref, scratch, sems, *, P, PL, H, W):
     """DMA variant: patches are pulled straight from the blur stack.
 
+    nv: i32[1] count of valid (front-packed) jobs — grid blocks whose
+    slots are all past the count skip DMA and math entirely (job lists
+    are capacity-padded; typically <40% of slots are real).
     lv/ya/ca/pk: i32[Fp] in SMEM — level, y0 aligned to 8, x0 aligned to
     128, ry*256+rx sub-window offset (1-D: SMEM pads 2-D rows to 128
     lanes). par_ref f32[G, 8] as in _desc_kernel. scratch
@@ -226,6 +229,10 @@ def _desc_dma_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
+    nv = nv_ref[0]
+
+    def active(step):
+        return step * G < nv
 
     def dma(step, to_slot, g):
         j = step * G + g
@@ -236,38 +243,44 @@ def _desc_dma_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
             scratch.at[to_slot, g],
             sems.at[to_slot, g])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & active(0))
     def _():
         for g in range(G):
             dma(0, 0, g).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when((i + 1 < n) & active(i + 1))
     def _():
         for g in range(G):
             dma(i + 1, jax.lax.rem(i + 1, 2), g).start()
 
-    patches = []
-    for g in range(G):
-        dma(i, slot, g).wait()
-        pk = pk_ref[i * G + g]
-        ry = jax.lax.div(pk, 256)
-        rx = jax.lax.rem(pk, 256)
-        w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 0),
-                       _WC - rx, 1)
-        patches.append(w[:P, :PL])
-    patch = jnp.stack(patches)                  # [G, P, PL]
-    _desc_math(patch, par_ref[:], out_ref, P=P, PL=PL, H=H, W=W)
+    @pl.when(active(i))
+    def _():
+        patches = []
+        for g in range(G):
+            dma(i, slot, g).wait()
+            pk = pk_ref[i * G + g]
+            ry = jax.lax.div(pk, 256)
+            rx = jax.lax.rem(pk, 256)
+            w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 0),
+                           _WC - rx, 1)
+            patches.append(w[:P, :PL])
+        patch = jnp.stack(patches)              # [G, P, PL]
+        _desc_math(patch, par_ref[:], out_ref, P=P, PL=PL, H=H, W=W)
+
+    @pl.when(jnp.logical_not(active(i)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("P", "PL", "H", "W", "interpret"))
-def _desc_dma_call(lv, ya, ca, pk, params, blur, P, PL, H, W,
+def _desc_dma_call(nv, lv, ya, ca, pk, params, blur, P, PL, H, W,
                    interpret=False):
     F = params.shape[0]
     grid = (F // _G,)
     kernel = functools.partial(_desc_dma_kernel, P=P, PL=PL, H=H, W=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_G, 8), lambda i, *s: (i, 0),
@@ -288,7 +301,7 @@ def _desc_dma_call(lv, ya, ca, pk, params, blur, P, PL, H, W,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lv, ya, ca, pk, params, blur)
+    )(nv, lv, ya, ca, pk, params, blur)
 
 
 def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
@@ -323,7 +336,8 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
         lv, y0a, c0a, pk = (jnp.pad(a, (0, pad))
                             for a in (lv, y0a, c0a, pk))
         params = jnp.pad(params, ((0, pad), (0, 0)))
-    out = _desc_dma_call(lv, y0a.astype(jnp.int32),
+    nv = jobs.count.astype(jnp.int32).reshape(1)
+    out = _desc_dma_call(nv, lv, y0a.astype(jnp.int32),
                          c0a.astype(jnp.int32), pk, params, blur,
                          P, PL, H, W, interpret=interpret)
     # [b, (ty, tx)] -> (ty, tx, b) flat 128

@@ -34,14 +34,20 @@ _P = 56     # patch rows
 _PL = 128   # patch cols
 
 
-def _ori_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
-                out_ref, scratch, sems, *, H, W):
-    """par_ref f32[G, 8]: (x, y, sigma, valid, y0, x0, xr, yr)."""
+def _ori_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
+                blur_hbm, out_ref, scratch, sems, *, H, W):
+    """par_ref f32[G, 8]: (x, y, sigma, valid, y0, x0, xr, yr).
+    nv_ref: i32[1] count of front-packed candidate rows — blocks fully
+    past it skip DMA and math."""
     G = _G
     P, PL = _P, _PL
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
+    nv = nv_ref[0]
+
+    def active(step):
+        return step * G < nv
 
     def dma(step, to_slot, g):
         j = step * G + g
@@ -52,16 +58,29 @@ def _ori_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
             scratch.at[to_slot, g],
             sems.at[to_slot, g])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & active(0))
     def _():
         for g in range(G):
             dma(0, 0, g).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when((i + 1 < n) & active(i + 1))
     def _():
         for g in range(G):
             dma(i + 1, jax.lax.rem(i + 1, 2), g).start()
 
+    @pl.when(jnp.logical_not(active(i)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(active(i))
+    def _():
+        _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
+                  P=P, PL=PL, H=H, W=W)
+
+
+def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
+              *, P, PL, H, W):
+    G = _G
     patches = []
     for g in range(G):
         dma(i, slot, g).wait()
@@ -124,12 +143,12 @@ def _ori_kernel(lv_ref, ya_ref, ca_ref, pk_ref, par_ref, blur_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _ori_call(lv, ya, ca, pk, params, blur, H, W, interpret=False):
+def _ori_call(nv, lv, ya, ca, pk, params, blur, H, W, interpret=False):
     F = params.shape[0]
     grid = (F // _G,)
     kernel = functools.partial(_ori_kernel, H=H, W=W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_G, 8), lambda i, *s: (i, 0),
@@ -150,7 +169,7 @@ def _ori_call(lv, ya, ca, pk, params, blur, H, W, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lv, ya, ca, pk, params, blur)
+    )(nv, lv, ya, ca, pk, params, blur)
 
 
 def orientation_hist_pallas(blur, ext, radius: int, H, W,
@@ -181,8 +200,10 @@ def orientation_hist_pallas(blur, ext, radius: int, H, W,
         lv, y0a, c0a, pk = (jnp.pad(a, (0, pad))
                             for a in (lv, y0a, c0a, pk))
         params = jnp.pad(params, ((0, pad), (0, 0)))
-    out = _ori_call(lv, y0a.astype(jnp.int32), c0a.astype(jnp.int32),
-                    pk, params, blur, H, W, interpret=interpret)
+    nv = ext.n_candidates.astype(jnp.int32).reshape(1)
+    out = _ori_call(nv, lv, y0a.astype(jnp.int32),
+                    c0a.astype(jnp.int32), pk, params, blur, H, W,
+                    interpret=interpret)
     return out[:K]
 
 

@@ -22,12 +22,16 @@ _WR = 24    # window rows (>= patch rows + 7-row alignment slack)
 _WC = 256   # window cols (>= patch cols + 127-lane slack)
 
 
-def _win_kernel(ya_ref, ca_ref, pk_ref, vol_hbm, out_ref, scratch, sems,
-                *, D):
+def _win_kernel(nv_ref, ya_ref, ca_ref, pk_ref, vol_hbm, out_ref,
+                scratch, sems, *, D):
     G = _G
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
+    nv = nv_ref[0]
+
+    def active(step):
+        return step * G < nv
 
     def dma(step, to_slot, g):
         j = step * G + g
@@ -38,34 +42,40 @@ def _win_kernel(ya_ref, ca_ref, pk_ref, vol_hbm, out_ref, scratch, sems,
             scratch.at[to_slot, g],
             sems.at[to_slot, g])
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & active(0))
     def _():
         for g in range(G):
             dma(0, 0, g).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when((i + 1 < n) & active(i + 1))
     def _():
         for g in range(G):
             dma(i + 1, jax.lax.rem(i + 1, 2), g).start()
 
-    for g in range(G):
-        dma(i, slot, g).wait()
-        pk = pk_ref[i * G + g]
-        ry = jax.lax.div(pk, 256)
-        rx = jax.lax.rem(pk, 256)
-        w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 1),
-                       _WC - rx, 2)
-        out_ref[g] = w
+    @pl.when(active(i))
+    def _():
+        for g in range(G):
+            dma(i, slot, g).wait()
+            pk = pk_ref[i * G + g]
+            ry = jax.lax.div(pk, 256)
+            rx = jax.lax.rem(pk, 256)
+            w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 1),
+                           _WC - rx, 2)
+            out_ref[g] = w
+
+    @pl.when(jnp.logical_not(active(i)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _win_call(ya, ca, pk, vol, interpret=False):
+def _win_call(nv, ya, ca, pk, vol, interpret=False):
     D = vol.shape[0]
     F = ya.shape[0]
     grid = (F // _G,)
     kernel = functools.partial(_win_kernel, D=D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_G, D, _WR, _WC),
@@ -83,12 +93,13 @@ def _win_call(ya, ca, pk, vol, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ya, ca, pk, vol)
+    )(nv, ya, ca, pk, vol)
 
 
 def extract_windows_pallas(vol: jnp.ndarray, cy: jnp.ndarray,
                            cx: jnp.ndarray, radius: int, rows: int,
-                           cols: int, interpret: bool = False):
+                           cols: int, n_valid=None,
+                           interpret: bool = False):
     """Extract [K, D, rows, cols] windows of ``vol`` (all layers) with
     the window origin at clip(c - radius, 0, limit), matching
     extract_patches semantics. rows <= 17, cols <= 129.
@@ -105,10 +116,14 @@ def extract_windows_pallas(vol: jnp.ndarray, cy: jnp.ndarray,
     y0a = (y0 // 8) * 8
     c0a = (x0 // 128) * 128
     pk = ((y0 - y0a) * 256 + (x0 - c0a)).astype(jnp.int32)
+    if n_valid is None:
+        n_valid = jnp.int32(K)
+    nv = n_valid.astype(jnp.int32).reshape(1) if hasattr(n_valid, "astype") \
+        else jnp.asarray([n_valid], jnp.int32)
     args = [a.astype(jnp.int32) for a in (y0a, c0a, pk)]
     if pad:
         args = [jnp.pad(a, (0, pad)) for a in args]
-    out = _win_call(*args, vol, interpret=interpret)
+    out = _win_call(nv, *args, vol, interpret=interpret)
     return out[:K, :, :rows, :cols], y0, x0
 
 
