@@ -58,20 +58,38 @@ def _mask_kernel(dog_hbm, out_ref, scratch, sems, *, D, Z, W, Wo, thr1):
     dma(i, slot).wait()
     x = scratch[slot]                         # [D, TH+8, Wp]
 
+    # separable 26-neighbor max/min: "c strictly greater than all 26"
+    # is exactly "c > max of the 26" — 3-tap running max/min along x,
+    # then y, then the cross-layer combine: ~30 vector ops instead of
+    # 104 shifted compares.
+    R = TH + 8
+    C = x.shape[2]
+    hmax = jnp.maximum(jnp.maximum(x[:, :, :C - 2], x[:, :, 1:C - 1]),
+                       x[:, :, 2:])                     # col-centered j+1
+    hmin = jnp.minimum(jnp.minimum(x[:, :, :C - 2], x[:, :, 1:C - 1]),
+                       x[:, :, 2:])
+    box9max = jnp.maximum(jnp.maximum(hmax[:, :R - 2], hmax[:, 1:R - 1]),
+                          hmax[:, 2:])                  # 3x3 incl center
+    box9min = jnp.minimum(jnp.minimum(hmin[:, :R - 2], hmin[:, 1:R - 1]),
+                          hmin[:, 2:])
+    rows6max = jnp.maximum(hmax[:, :R - 2], hmax[:, 2:])  # rows y+-1
+    rows6min = jnp.minimum(hmin[:, :R - 2], hmin[:, 2:])
+    side2max = jnp.maximum(x[:, 1:R - 1, :C - 2], x[:, 1:R - 1, 2:])
+    side2min = jnp.minimum(x[:, 1:R - 1, :C - 2], x[:, 1:R - 1, 2:])
+    inp8max = jnp.maximum(rows6max, side2max)           # in-plane 8
+    inp8min = jnp.minimum(rows6min, side2min)
+
     for z in range(1, Z + 1):
         c = x[z, 1:TH + 1, 1:Wo + 1]
         first = jnp.abs(c) >= thr1
-        gt = first
-        lt = first
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dz == 0 and dy == 0 and dx == 0:
-                        continue
-                    nb = x[z + dz, 1 + dy:1 + dy + TH,
-                           1 + dx:1 + dx + Wo]
-                    gt = gt & (c > nb)
-                    lt = lt & (c < nb)
+        max26 = jnp.maximum(jnp.maximum(box9max[z - 1, :TH, :Wo],
+                                        box9max[z + 1, :TH, :Wo]),
+                            inp8max[z, :TH, :Wo])
+        min26 = jnp.minimum(jnp.minimum(box9min[z - 1, :TH, :Wo],
+                                        box9min[z + 1, :TH, :Wo]),
+                            inp8min[z, :TH, :Wo])
+        gt = first & (c > max26)
+        lt = first & (c < min26)
         out_ref[z - 1] = (gt | lt).astype(jnp.float32)
 
 
