@@ -40,6 +40,7 @@ def make_frame(h=1080, w=1920, seed=0):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcc")
     from popsift_tpu.config import SiftConfig
     from popsift_tpu.pipeline import build_extract_plan, make_extract_fn
 
