@@ -11,10 +11,11 @@ GTX 980 Ti with the notile descriptor variant
 Methodology: synthetic 1920x1080 frames with realistic keypoint density;
 per-octave pipeline capacities are sized from a calibration pass (actual
 candidate counts + 50% headroom) the way a production deployment would
-pin them, then throughput is measured over batched extraction (4 frames
-per dispatch — production serving batches; the reference instead
-overlaps upload/compute with its 2-stage host pipeline,
-popsift.cpp:171-213) with pipelined async dispatches.
+pin them, then throughput is measured over scan-batched extraction
+(16 frames per dispatch at single-frame memory footprint — production
+serving batches; the reference instead overlaps upload/compute with its
+2-stage host pipeline, popsift.cpp:171-213), with full-field checksums
+so no stage dead-code-eliminates.
 """
 
 import json
