@@ -117,9 +117,12 @@ def main(argv=None):
           f"{len(sfm.rec.points)} points)")
 
     import os
-    save_reconstruction(os.path.dirname(args.export) or ".",
-                        sfm.rec, tag="final")
-    print(f"checkpoint written next to {args.export}")
+    import shutil
+    ckpt = save_reconstruction(os.path.dirname(args.export) or ".",
+                               sfm.rec, tag="final")
+    if os.path.abspath(ckpt) != os.path.abspath(args.export):
+        shutil.copyfile(ckpt, args.export)   # the documented output path
+    print(f"reconstruction written to {args.export}")
     return 0
 
 

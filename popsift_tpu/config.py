@@ -43,6 +43,13 @@ SIFT_MODES = ("popsift", "opencv", "vlfeat")
 
 SCALING_MODES = ("indirect", "direct")  # ScaleDefault, ScaleDirect
 
+# Octave-to-octave downscale: "pick" = get_by_2_pick_every_second (all
+# reference SiftModes, s_pyramid_build.cu:232); "interpolate" =
+# get_by_2_interpolate (s_pyramid_build.cu:33-49, the switch's default
+# branch — reads the linear texture at (2x+1, 2y+1), which degenerates
+# to picking pixel (2x+1, 2y+1) exactly).
+DOWNSCALE_MODES = ("pick", "interpolate")
+
 DESC_MODES = ("loop", "iloop", "grid", "igrid", "notile")
 
 NORM_MODES = ("rootsift", "classic")
@@ -86,6 +93,7 @@ class SiftConfig:
     gauss_mode: str = "vlfeat"
     sift_mode: str = "popsift"
     scaling_mode: str = "indirect"
+    downscale_mode: str = "pick"
     desc_mode: str = "loop"
     norm_mode: str = "rootsift"
     norm_multiplier: int = 0      # descriptor scaled by 2^norm_multiplier
@@ -104,6 +112,11 @@ class SiftConfig:
     extrema_capacity: int = -1
     # Cap for the auto-sizing rule, keeps worst-case padded compute bounded.
     extrema_capacity_cap: int = 16384
+    # Per-128-lane-block candidate clamp in the rank compaction
+    # (ops/extrema.py::_compact_mask). 0: auto-scale from capacity/mask
+    # density. Candidates dropped by this clamp are reported in
+    # SiftFeatures.octave_dropped.
+    compact_block_k: int = 0
     # Compute dtype for the pyramid ("float32" strongly recommended).
     dtype: str = "float32"
 
@@ -119,11 +132,19 @@ class SiftConfig:
             raise ValueError(f"bad grid filter mode {self.grid_filter_mode!r}")
         if self.scaling_mode not in SCALING_MODES:
             raise ValueError(f"bad scaling mode {self.scaling_mode!r}")
+        if self.downscale_mode not in DOWNSCALE_MODES:
+            raise ValueError(f"bad downscale mode {self.downscale_mode!r}")
         if self.levels < 2:
             # reference: levels = max(2, levels), popsift.cpp:71
             object.__setattr__(self, "levels", 2)
         if self.levels > MAX_LEVELS - 3:
             raise ValueError(f"levels > {MAX_LEVELS - 3} not supported")
+        if self.gauss_mode in ("fixed9", "fixed15") and self.levels != 3:
+            # the reference's fused fixed-span octave builder supports
+            # exactly 6 gauss levels (s_pyramid_fixed.cu:269-288 POP_FATAL)
+            raise ValueError(
+                "fixed9/fixed15 gauss modes require levels=3 "
+                "(6 gauss levels, s_pyramid_fixed.cu:269-288)")
         if self.sigma > 2.0:
             # gauss_filter.cu:131-137 rejects sigma > 2.0
             raise ValueError("sigma > 2.0 is not supported")

@@ -104,6 +104,8 @@ def load_image(path: str) -> np.ndarray:
             from ..runtime import native
             return native.read_pnm(path)
         except ImportError:
+            # no toolchain / incompatible prebuilt library: the Python
+            # codec below is the always-available semantics reference
             return read_pgm(path)
     try:
         from PIL import Image  # optional

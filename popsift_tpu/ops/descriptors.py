@@ -155,6 +155,163 @@ def _descriptor_grid_chunk(blur: jnp.ndarray, jobs: DescriptorJobs) -> jnp.ndarr
     return jnp.where(zero[:, None], 0.0, desc)
 
 
+def _descriptor_tilegrid_chunk(blur: jnp.ndarray,
+                               jobs: DescriptorJobs) -> jnp.ndarray:
+    """True ``grid`` variant (s_desc_grid.cu:19-147): per 4x4 tile a
+    16x16 rotated sampling grid whose absolute addresses are *rounded to
+    integer pixels* (``pix = round(pt + pix) - pt``), gradients by plain
+    axis-aligned central differences at those integer pixels (point
+    texture), tile/envelope weights recomputed from the rounded
+    position. Unlike igrid, each sample contributes only to its own
+    tile. Rounding uses round-half-away-from-zero like CUDA ``round``.
+    """
+    F = jobs.x.shape[0]
+    sbp = jnp.abs(np.float32(DESC_MAGNIFY) * jobs.sigma)    # [F]
+    c = jnp.cos(jobs.ang)
+    s = jnp.sin(jobs.ang)
+
+    # tile centers in descriptor units: offset = (ix - 1.5, iy - 1.5)
+    t_off = jnp.asarray(np.arange(4, dtype=np.float32) - 1.5)
+    ox = t_off[None, None, :]                                # [1, 1, 4]
+    oy = t_off[None, :, None]                                # [1, 4, 1]
+    cB = c[:, None, None]
+    sB = s[:, None, None]
+    sbpB = sbp[:, None, None]
+    # pt = keypoint + rotate(offset) * SBP (tile center, image coords)
+    ptx = jobs.x[:, None, None] + (cB * ox - sB * oy) * sbpB  # [F, 4, 4]
+    pty = jobs.y[:, None, None] + (cB * oy + sB * ox) * sbpB
+
+    # per-tile sample offsets in rotated units (s_desc_grid.cu:62-72):
+    # lft_dn + (xd+0.5)*rgt_stp + (yd+0.5)*up__stp
+    half = (jnp.asarray(np.arange(16, dtype=np.float32)) + 0.5) / 8.0
+    xd = half[None, :]                                       # [1, 16]
+    yd = half[:, None]                                       # [16, 1]
+    c5 = c[:, None, None, None, None]
+    s5 = s[:, None, None, None, None]
+    pixo_x = (-c5 + s5) + c5 * xd - s5 * yd                  # [F,1,1,16,16]
+    pixo_y = (-c5 - s5) + s5 * xd + c5 * yd
+    sbp5 = sbp[:, None, None, None, None]
+
+    absx = ptx[..., None, None] + pixo_x * sbp5              # [F,4,4,16,16]
+    absy = pty[..., None, None] + pixo_y * sbp5
+    # CUDA round(): half away from zero
+    rx = jnp.sign(absx) * jnp.floor(jnp.abs(absx) + 0.5)
+    ry = jnp.sign(absy) * jnp.floor(jnp.abs(absy) + 0.5)
+
+    lvl = jobs.level[:, None, None, None, None]
+    # integer-pixel central differences (get_gradiant point overload,
+    # s_gradiant.h:55-69; bilinear at integer coords == point read)
+    dx = _bilinear(blur, lvl, rx + 1.0, ry) - _bilinear(blur, lvl, rx - 1.0, ry)
+    dy = _bilinear(blur, lvl, rx, ry + 1.0) - _bilinear(blur, lvl, rx, ry - 1.0)
+    mod = jnp.sqrt(dx * dx + dy * dy)
+    th = jnp.arctan2(dy, dx)
+
+    # re-derive descriptor-frame coords from the rounded position
+    inv_sbp = jnp.where(sbp5 > 0, 1.0 / jnp.where(sbp5 > 0, sbp5, 1.0), 0.0)
+    pxo = (rx - ptx[..., None, None]) * inv_sbp
+    pyo = (ry - pty[..., None, None]) * inv_sbp
+    nx = c5 * pxo + s5 * pyo                                 # inverse rot
+    ny = c5 * pyo - s5 * pxo
+    dnx = nx + ox[..., None, None]
+    dny = ny + oy[..., None, None]
+    ww = jnp.exp(np.float32(-0.125) * (dnx * dnx + dny * dny))
+    wx = 1.0 - jnp.abs(nx)
+    wy = 1.0 - jnp.abs(ny)
+    keep = (wx >= 0.0) & (wy >= 0.0)                         # continue-skip
+    wgt = jnp.where(keep, ww * wx * wy * mod, 0.0)
+
+    two_pi = np.float32(2.0 * math.pi)
+    tha = th - jobs.ang[:, None, None, None, None]
+    tha = jnp.where(tha < 0.0, tha + two_pi, tha)
+    tha = jnp.where(tha >= two_pi, tha - two_pi, tha)
+    tth = tha * np.float32(4.0 / math.pi)
+    fo = jnp.floor(tth).astype(jnp.int32)
+    frac = tth - fo.astype(jnp.float32)
+    fo0 = fo % DESC_BINS
+    fo1 = (fo + 1) % DESC_BINS                # dpt[0] += dpt[8] fold
+
+    cols = []
+    for b in range(DESC_BINS):
+        cb = wgt * (jnp.where(fo0 == b, 1.0 - frac, 0.0)
+                    + jnp.where(fo1 == b, frac, 0.0))
+        cols.append(jnp.sum(cb, axis=(-2, -1)))              # [F, 4, 4]
+    desc = jnp.stack(cols, axis=-1).reshape(F, 128)          # iy*32+ix*8+b
+    zero = (sbp == 0.0) | ~jobs.valid
+    return jnp.where(zero[:, None], 0.0, desc)
+
+
+def _descriptor_iloop_chunk(blur: jnp.ndarray,
+                            jobs: DescriptorJobs) -> jnp.ndarray:
+    """``iloop`` variant (s_desc_iloop.cu:19-153): per tile, a 32x32
+    axis-aligned sample grid spanning the rotated tile's bounding box
+    (half-width ``bsz = |cos|+|sin|`` in SBP units); samples whose
+    inverse-rotated coords fall outside the tile are skipped; gradients
+    by *rotated* central differences through the linear texture
+    (get_gradiant cos/sin overload, s_gradiant.h:71-87), so theta is
+    already in the rotated frame and ``th -= ang`` is not applied.
+    """
+    F = jobs.x.shape[0]
+    sbp = jnp.abs(np.float32(DESC_MAGNIFY) * jobs.sigma)
+    c = jnp.cos(jobs.ang)
+    s = jnp.sin(jobs.ang)
+    bsz = jnp.abs(c) + jnp.abs(s)                            # [F]
+
+    t_off = jnp.asarray(np.arange(4, dtype=np.float32) - 1.5)
+    ox = t_off[None, None, :]
+    oy = t_off[None, :, None]
+    cB = c[:, None, None]
+    sB = s[:, None, None]
+    sbpB = sbp[:, None, None]
+    ptx = (cB * ox - sB * oy) * sbpB                         # [F, 4, 4]
+    pty = (cB * oy + sB * ox) * sbpB
+
+    idx = jnp.asarray(np.arange(32, dtype=np.float32))
+    c5 = c[:, None, None, None, None]
+    s5 = s[:, None, None, None, None]
+    b5 = bsz[:, None, None, None, None]
+    dx = -b5 + idx[None, None, None, None, :] * b5 / 16.0    # [F,1,1,1,32]
+    dy = -b5 + idx[None, None, None, :, None] * b5 / 16.0    # [F,1,1,32,1]
+    nx = c5 * dx + s5 * dy                                   # [F,1,1,32,32]
+    ny = c5 * dy - s5 * dx
+    keep = (jnp.abs(nx) < 1.0) & (jnp.abs(ny) < 1.0)
+
+    sbp5 = sbp[:, None, None, None, None]
+    px = jobs.x[:, None, None, None, None] + ptx[..., None, None] + dx * sbp5
+    py = jobs.y[:, None, None, None, None] + pty[..., None, None] + dy * sbp5
+    lvl = jobs.level[:, None, None, None, None]
+
+    gdx = (_bilinear(blur, lvl, px + c5, py + s5)
+           - _bilinear(blur, lvl, px - c5, py - s5))
+    gdy = (_bilinear(blur, lvl, px - s5, py + c5)
+           - _bilinear(blur, lvl, px + s5, py - c5))
+    mod = jnp.sqrt(gdx * gdx + gdy * gdy)
+    th = jnp.arctan2(gdy, gdx)
+    two_pi = np.float32(2.0 * math.pi)
+    th = jnp.where(th < 0.0, th + two_pi, th)
+    th = jnp.where(th >= two_pi, th - two_pi, th)
+
+    dnx = nx + ox[..., None, None]
+    dny = ny + oy[..., None, None]
+    ww = jnp.exp(np.float32(-0.125) * (dnx * dnx + dny * dny))
+    wgt = jnp.where(keep, ww * (1.0 - jnp.abs(nx)) * (1.0 - jnp.abs(ny))
+                    * mod, 0.0)
+
+    tth = th * np.float32(4.0 / math.pi)
+    fo = jnp.floor(tth).astype(jnp.int32)
+    frac = tth - fo.astype(jnp.float32)
+    fo0 = fo % DESC_BINS
+    fo1 = (fo + 1) % DESC_BINS
+
+    cols = []
+    for b in range(DESC_BINS):
+        cb = wgt * (jnp.where(fo0 == b, 1.0 - frac, 0.0)
+                    + jnp.where(fo1 == b, frac, 0.0))
+        cols.append(jnp.sum(cb, axis=(-2, -1)))              # [F, 4, 4]
+    desc = jnp.stack(cols, axis=-1).reshape(F, 128)
+    zero = (sbp == 0.0) | ~jobs.valid
+    return jnp.where(zero[:, None], 0.0, desc)
+
+
 def loop_patch_radius(cfg: SiftConfig) -> int:
     """Static window bound for the loop variant.
 
@@ -169,7 +326,7 @@ def loop_patch_radius(cfg: SiftConfig) -> int:
 
 
 def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
-                           radius: int) -> jnp.ndarray:
+                           radius: int, y_bounds=None) -> jnp.ndarray:
     """Dense pixel-scan (loop variant, s_desc_loop.cu:19-138) over one
     contiguous patch per job: gradient at integer pixels by central
     differences, global rotated coordinates, per-tile triangular weights
@@ -205,8 +362,13 @@ def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
     nxg = crsbp * fdx + srsbp * fdy                 # global rotated coords
     nyg = crsbp * fdy - srsbp * fdx
 
-    # scan bounds (xmin/xmax clamp to [1, W-2], s_desc_loop.cu:68-71)
-    inb = (px >= 1) & (px <= W - 2) & (py >= 1) & (py <= H - 2)
+    # scan bounds (xmin/xmax clamp to [1, W-2], s_desc_loop.cu:68-71);
+    # y_bounds carries the global-row translation for sharded row bands
+    if y_bounds is None:
+        y_lo, y_hi = 1, H - 2
+    else:
+        y_lo, y_hi = y_bounds
+    inb = (px >= 1) & (px <= W - 2) & (py >= y_lo) & (py <= y_hi)
 
     two_pi = np.float32(2.0 * math.pi)
     tha = th - jobs.ang[:, None, None]
@@ -249,17 +411,35 @@ def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
 
 def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
                         cfg: SiftConfig, chunk: int = 1024,
-                        use_pallas: bool | None = None) -> jnp.ndarray:
+                        use_pallas: bool | None = None,
+                        y_bounds=None) -> jnp.ndarray:
     """Unnormalized descriptors f32[F, 128].
 
-    Variant dispatch (DescMode, sift_conf.h:59-65): "loop"/"iloop" use the
-    dense pixel-scan (reference default, best accuracy); "grid"/"igrid"/
-    "notile" use the fixed 40x40 rotated grid. On TPU the loop variant
-    runs as a fused Pallas kernel (ops/pallas/desc.py) — the XLA
-    formulation moves ~18 GB of intermediates per 1080p frame; elsewhere
-    evaluation is chunked over jobs to bound the per-chunk intermediates.
+    Variant dispatch (DescMode, sift_conf.h:59-65), each name mapping to
+    its reference-distinct semantics:
+
+    * ``loop``  — dense integer-pixel scan (s_desc_loop.cu), Pallas
+      kernel on TPU (the XLA formulation moves ~18 GB of intermediates
+      per 1080p frame; elsewhere evaluation is chunked over jobs);
+    * ``iloop`` — per-tile bbox scan with rotated-offset bilinear
+      gradients (s_desc_iloop.cu);
+    * ``grid``  — per-tile 16x16 rotated grid at *rounded* pixel
+      addresses (s_desc_grid.cu);
+    * ``igrid``/``notile`` — fixed 40x40 rotated grid with bilinear
+      rotated gradients; notile is igrid with the redundant fetches
+      deduplicated — identical sample positions, tables and math
+      (s_desc_igrid.cu:19-108 vs s_desc_notile.cu:31-95), hence one
+      implementation here.
     """
-    if cfg.desc_mode in ("loop", "iloop"):
+    if cfg.desc_mode == "iloop":
+        def body_fn(j):
+            return _descriptor_iloop_chunk(blur, j)
+        chunk = min(chunk, 64)    # 16 tiles x 32x32 samples per job
+    elif cfg.desc_mode == "grid":
+        def body_fn(j):
+            return _descriptor_tilegrid_chunk(blur, j)
+        chunk = min(chunk, 128)   # 16 tiles x 16x16 samples per job
+    elif cfg.desc_mode == "loop":
         from .pallas.desc import desc_pallas_available, descriptor_loop_pallas
 
         radius = loop_patch_radius(cfg)
@@ -267,7 +447,7 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
         hw = blur.shape[-2:]
 
         if use_pallas is None:
-            use_pallas = desc_pallas_available()
+            use_pallas = desc_pallas_available() and y_bounds is None
         if use_pallas and radius <= 51:
             from .pallas.desc import descriptor_loop_pallas_dma
 
@@ -282,7 +462,8 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
             return descriptor_loop_pallas_dma(img2, jobs, radius, H, W)
 
         def body_fn(j):
-            return _descriptor_loop_chunk(img, hw, j, radius)
+            return _descriptor_loop_chunk(img, hw, j, radius,
+                                          y_bounds=y_bounds)
         chunk = min(chunk, 256)   # loop patches are ~P^2 * 6 floats each
     else:
         def body_fn(j):

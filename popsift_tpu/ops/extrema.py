@@ -48,6 +48,8 @@ class OctaveExtrema(NamedTuple):
     count: jnp.ndarray    # i32[] number of valid entries
     n_candidates: jnp.ndarray  # i32[] pre-refinement candidates (for
     # capacity calibration; counts saturate at the octave capacity)
+    n_dropped: jnp.ndarray     # i32[] candidates dropped by the per-block
+    # density clamp in _compact_mask (0 in healthy calibrated runs)
 
 
 def _neighbor_offsets():
@@ -134,10 +136,10 @@ def _solve3(a00, a01, a02, a11, a12, a22, b0, b1, b2):
         jnp.where(singular, z, x1), jnp.where(singular, z, x2)
 
 
-def _compact_mask(flat: jnp.ndarray, capacity: int):
+def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
     """Compact a sparse boolean mask into up to ``capacity`` flat indices,
-    preserving ascending index order — exactly ``jnp.nonzero`` semantics,
-    ~100x faster on TPU.
+    preserving ascending index order — ``jnp.nonzero`` semantics with a
+    per-128-lane-block density clamp (below), ~100x faster on TPU.
 
     A single ``jnp.nonzero`` over a full-octave mask lowers to a global
     cumsum+gather costing ~220 ms on a 24.9M mask (v5e); batched
@@ -152,14 +154,25 @@ def _compact_mask(flat: jnp.ndarray, capacity: int):
        and the output is *gathered* (searchsorted over offsets) rather
        than scattered, so no second nonzero is needed.
 
-    Blocks with more than K candidates drop the excess (the reference's
-    ``max_extrema`` clamp, s_extrema.cu:551-561, applied per 128 px);
-    K=16 per 128-lane block is ~2.5x the densest block observed on a
-    texture-saturated synthetic 1080p frame.
+    Blocks denser than K candidates per 128 lanes drop the excess — a
+    *spatially local* clamp the reference's global ``max_extrema`` clamp
+    (s_extrema.cu:551-561) does not have, so the third return value
+    reports how many candidates were dropped this way (calibration and
+    the API warning path watch it). K auto-scales with the
+    capacity/mask-size ratio: cost of step 2 is linear in K, so big
+    production masks keep K small while small/dense inputs (tests, heavy
+    texture at low peak thresholds) get exact semantics. Pass
+    ``block_k`` to pin it.
     """
     N = flat.shape[0]
     B = 128
-    K = 16
+    if block_k > 0:
+        K = min(block_k, B - 1)    # rank B would wrap the int8 compare
+    else:
+        # >= 4x the capacity-implied mean block density, floor 16 (the
+        # densest block measured on a texture-saturated synthetic 1080p
+        # frame is ~6 per 128 lanes at default thresholds)
+        K = int(np.clip(4 * capacity * B // max(N, 1) + 1, 16, B - 1))
     nb = -(-N // B)
     pad = nb * B - N
     m = jnp.pad(flat, (0, pad)).reshape(nb, B)
@@ -175,7 +188,11 @@ def _compact_mask(flat: jnp.ndarray, capacity: int):
         d *= 2
     A = jnp.where(m, A, jnp.int8(0))          # rank (1-based) of set bits
 
-    cnt = jnp.minimum(jnp.max(A.astype(jnp.int32), axis=1), K)
+    # int8 rank wraps at fully-set blocks; count in int32 so the clamp
+    # and the overflow report stay exact
+    full_cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
+    cnt = jnp.minimum(full_cnt, K)
+    dropped = jnp.sum(full_cnt - cnt)
     iota8 = jax.lax.broadcasted_iota(jnp.int8, (nb, B), 1)  # 0..127 fits
     pos = jnp.stack(
         [jnp.max(jnp.where(A == jnp.int8(j + 1), iota8, jnp.int8(0)),
@@ -188,20 +205,35 @@ def _compact_mask(flat: jnp.ndarray, capacity: int):
                  - 1, 0, nb - 1)
     j = jnp.clip(s - off[b], 0, K - 1)
     flat_idx = b * B + pos.reshape(-1)[b * K + j].astype(jnp.int32)
-    return flat_idx, total
+    return flat_idx, total, dropped
 
 
 def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
-                   oct_w: int, oct_h: int) -> OctaveExtrema:
-    """Detect, compact and refine extrema in one octave's DoG stack."""
+                   oct_w: int, oct_h: int, row_window: tuple | None = None,
+                   y_offset=0) -> OctaveExtrema:
+    """Detect, compact and refine extrema in one octave's DoG stack.
+
+    Spatial sharding (parallel/spatial.py) passes a *row band with halo*:
+    ``row_window=(lo, hi)`` restricts candidate rows to the device's own
+    band [lo, hi) of the local array, and ``y_offset`` (traced scalar ok)
+    is the global row index of local row 0 — all bound tests and outputs
+    then use global coordinates while patch reads stay local. ``oct_h``
+    is always the FULL octave height.
+    """
     D, H, W = dog.shape
     Z = cfg.total_levels - 3
     maxlevel = cfg.total_levels - 1
     thr = np.float32(cfg.peak_threshold)
     vlfeat = cfg.sift_mode == "vlfeat"
+    goff = jnp.asarray(y_offset, jnp.int32)
 
     mask = _candidate_mask(dog, cfg)
-    idx, n_found = _compact_mask(mask.reshape(-1), capacity)
+    if row_window is not None:
+        lo, hi = row_window
+        rows = jnp.arange(H, dtype=jnp.int32)
+        mask = mask & ((rows >= lo) & (rows < hi))[None, :, None]
+    idx, n_found, n_dropped = _compact_mask(
+        mask.reshape(-1), capacity, block_k=cfg.compact_block_k)
     cand_valid = jnp.arange(capacity, dtype=jnp.int32) < n_found
 
     z0 = (idx // (H * W)).astype(jnp.int32) + 1   # dog layer
@@ -314,11 +346,12 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
 
         last_it = it == MAX_ITERATIONS
         if not last_it:
-            # step policy (popsift s_extrema.cu:258-284; vlfeat :207-232)
+            # step policy (popsift s_extrema.cu:258-284; vlfeat :207-232);
+            # row bounds in global coordinates (ny + goff)
             tx = (jnp.where((sx >= 0.6) & (nx < W - 2), 1, 0)
                   + jnp.where((sx <= -0.6) & (nx > 1), -1, 0))
-            ty = (jnp.where((sy >= 0.6) & (ny < H - 2), 1, 0)
-                  + jnp.where((sy <= -0.6) & (ny > 1), -1, 0))
+            ty = (jnp.where((sy >= 0.6) & (ny + goff < oct_h - 2), 1, 0)
+                  + jnp.where((sy <= -0.6) & (ny + goff > 1), -1, 0))
             if vlfeat:
                 tz = jnp.zeros_like(tx)
             else:
@@ -339,12 +372,12 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
     ok = cand_valid & ~((dx >= 1.5) | (dy >= 1.5) | (dz >= 1.5))
 
     xn = nx.astype(jnp.float32) + dx
-    yn = ny.astype(jnp.float32) + dy
+    yn = (ny + goff).astype(jnp.float32) + dy     # global row coordinate
     sn = nz.astype(jnp.float32) + dz
 
-    # verify bounds (s_extrema.cu:286-297)
-    ok = ok & (xn >= 0.0) & (xn <= W - 1.0) & (yn >= 0.0) & (yn <= H - 1.0) \
-        & (sn >= 0.0) & (sn <= maxlevel)
+    # verify bounds (s_extrema.cu:286-297), rows against the full octave
+    ok = ok & (xn >= 0.0) & (xn <= W - 1.0) & (yn >= 0.0) \
+        & (yn <= oct_h - 1.0) & (sn >= 0.0) & (sn <= maxlevel)
 
     contr = v + 0.5 * (Dx * dx + Dy * dy + Ds * dz)
     tr = DDx + DDy
@@ -373,4 +406,5 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
         valid=ok,
         count=jnp.sum(ok, dtype=jnp.int32),
         n_candidates=n_found,
+        n_dropped=n_dropped,
     )

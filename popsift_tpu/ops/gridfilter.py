@@ -10,10 +10,11 @@ ordered by scale (largest/smallest first) or pseudo-randomly
 
 The Thrust sort / reduce_by_key / scan / copy_if chain becomes a single
 composite-key ``argsort`` plus a segmented rank (cummax of segment
-starts) over the fixed-capacity extrema buffer — no host round-trip (the
-reference computes the per-cell limit on the host,
-s_filtergrid.cu:245-260; we use the uniform budget/cells limit, which is
-what that host loop converges to for evenly loaded cells).
+starts) over the fixed-capacity extrema buffer. The per-cell limit uses
+the reference's budget *redistribution* (s_filtergrid.cu:245-260): cells
+below the shared limit keep everything and their unused budget raises
+the limit for the loaded cells — computed here fully on device from the
+sorted per-cell histogram (the reference rounds counts through the host).
 """
 
 from __future__ import annotations
@@ -26,17 +27,51 @@ from ..config import SiftConfig
 from .extrema import OctaveExtrema
 
 
+def _redistributed_limit(counts: jnp.ndarray, budget: int) -> jnp.ndarray:
+    """Per-cell keep limit with unused-budget redistribution
+    (s_filtergrid.cu:245-260).
+
+    Sort cell counts ascending; find the ``ct`` largest cells for which
+    clamping every larger cell to this cell's count still exceeds the
+    budget (FunctionIsAbove) — those cells share the reduction:
+    ``newlimit = ceil(mean(top ct counts) - (total - budget)/ct)``.
+    Lightly loaded cells keep everything; the limit only binds the dense
+    tail, so the kept total lands within ``n_cells`` of the budget.
+    """
+    n_cells = counts.shape[0]
+    cs = jnp.sort(counts)                        # ascending
+    prefix = jnp.cumsum(cs)
+    total = prefix[-1]
+    rev = jnp.arange(n_cells - 1, -1, -1, dtype=counts.dtype)
+    sumup = prefix + cs * rev                    # total if clamped to cs[i]
+    ct = jnp.sum(sumup > budget)
+    ct_safe = jnp.maximum(ct, 1).astype(jnp.float32)
+    in_tail = jnp.arange(n_cells) >= n_cells - ct
+    tail_avg = jnp.sum(jnp.where(in_tail, cs, 0)).astype(jnp.float32) \
+        / ct_safe
+    excess = (total - budget).astype(jnp.float32)
+    newlimit = jnp.ceil(tail_avg - excess / ct_safe).astype(jnp.int32)
+    # under budget: no cell needs to lose anything
+    return jnp.where(ct > 0, jnp.maximum(newlimit, 1), jnp.int32(2 ** 30))
+
+
 def grid_filter_mask(cell: jnp.ndarray, sigma: jnp.ndarray,
                      valid: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
-    """Return an updated validity mask keeping at most
-    ``filter_max_extrema / grid_size^2`` extrema per grid cell.
+    """Return an updated validity mask keeping at most ``newlimit``
+    extrema per grid cell, where ``newlimit`` redistributes budget unused
+    by sparse cells to loaded ones (reference host loop,
+    s_filtergrid.cu:245-281).
 
     Operates on the *global* (all octaves concatenated) arrays; ``sigma``
     must be in input-image units so cross-octave ordering is meaningful.
     """
     n = cell.shape[0]
     n_cells = cfg.filter_grid_size * cfg.filter_grid_size
-    limit = max(1, cfg.filter_max_extrema // n_cells)
+    # per-cell histogram via a tiny one-hot contraction (n_cells is
+    # small; a scatter-add would serialize on TPU)
+    onehot = cell[:, None] == jnp.arange(n_cells, dtype=cell.dtype)[None, :]
+    counts = jnp.sum(jnp.where(valid[:, None] & onehot, 1, 0), axis=0)
+    limit = _redistributed_limit(counts, cfg.filter_max_extrema)
 
     if cfg.grid_filter_mode == "largest":
         sec = -sigma            # biggest scale first (LargestScaleFirst)

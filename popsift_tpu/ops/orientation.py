@@ -49,11 +49,19 @@ def max_ori_radius(cfg: SiftConfig) -> int:
     return int(round(3.0 * ORI_WINFACTOR * sigma_max))
 
 
-def _orientation_hist_xla(blur, ext, cfg, R):
+def _orientation_hist_xla(blur, ext, cfg, R, y_bounds=None):
     """Histogram via patch extraction + per-bin masked reductions
     (CPU/fallback path; a one-hot einsum would materialize
-    [K, P*P, 36] ~ 1 GB per image)."""
+    [K, P*P, 36] ~ 1 GB per image).
+
+    ``y_bounds=(lo, hi)``: inclusive valid row range in *local*
+    coordinates (spatial sharding passes the band's global-bound
+    translation); defaults to the image interior (1, H-2)."""
     L, H, W = blur.shape
+    if y_bounds is None:
+        y_lo, y_hi = 1, H - 2
+    else:
+        y_lo, y_hi = y_bounds
     K = ext.x.shape[0]
     P = 2 * (R + 1) + 1          # +1 margin for the gradient stencil
 
@@ -82,7 +90,7 @@ def _orientation_hist_xla(blur, ext, cfg, R):
 
     inb = ((jnp.abs(xx - xr[:, None, None]) <= rad[:, None, None])
            & (jnp.abs(yy - yr[:, None, None]) <= rad[:, None, None])
-           & (xx >= 1) & (xx <= W - 2) & (yy >= 1) & (yy <= H - 2))
+           & (xx >= 1) & (xx <= W - 2) & (yy >= y_lo) & (yy <= y_hi))
 
     fdx = xx.astype(jnp.float32) - ext.x[:, None, None]
     fdy = yy.astype(jnp.float32) - ext.y[:, None, None]
@@ -104,20 +112,22 @@ def _orientation_hist_xla(blur, ext, cfg, R):
 
 def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
                         cfg: SiftConfig,
-                        use_pallas: bool | None = None
-                        ) -> OctaveOrientations:
+                        use_pallas: bool | None = None,
+                        y_bounds=None) -> OctaveOrientations:
     """Compute up to 4 orientations for each (padded) extremum.
 
     Gradient reads go through one contiguous window per keypoint instead
     of per-pixel gathers; on TPU the histogram runs as a Pallas kernel
-    with in-kernel window DMA (ops/pallas/orient.py).
+    with in-kernel window DMA (ops/pallas/orient.py). ``y_bounds`` (see
+    _orientation_hist_xla) forces the XLA path — used by the sharded
+    extraction where ``blur`` is a halo'd row band.
     """
     from .pallas.orient import orientation_hist_pallas, ori_pallas_available
 
     L, H, W = blur.shape
     R = max_ori_radius(cfg)
     if use_pallas is None:
-        use_pallas = ori_pallas_available()
+        use_pallas = ori_pallas_available() and y_bounds is None
     if use_pallas and R <= 26:
         Hp = max(-(-(H + 40) // 8) * 8, 64)
         Wp = max(-(-(W + 240) // 128) * 128, 256)
@@ -125,7 +135,7 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
                        mode="edge")
         hist = orientation_hist_pallas(img2, ext, R, H, W)
     else:
-        hist = _orientation_hist_xla(blur, ext, cfg, R)
+        hist = _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
 
     # VLFeat smoothing: 3 x (two circular box-3 passes)
     for _ in range(6):

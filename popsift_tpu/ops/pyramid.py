@@ -53,17 +53,21 @@ class PyramidPlan:
 
     # numpy filter banks (trace-time constants)
     inc_kernels: tuple     # full symmetric kernels per level
-    absN_kernels: tuple    # level0 -> levelN kernels (relative-all mode)
+    absN_kernels: tuple    # level0 -> levelN kernels (relative-all/fixed)
     dd_kernels: tuple      # direct-downscale kernels per octave
     lvl0_kernel_x: np.ndarray  # dd[0] full kernel (horizontal from input)
     lvl0_kernel_y: np.ndarray  # inc[0] full kernel (vertical from interm)
+    abs0_kernels: tuple = ()   # input -> octave-0 levelN (fixed modes)
 
 
 def build_pyramid_plan(config: SiftConfig, height: int, width: int,
                        tables: GaussTables | None = None) -> PyramidPlan:
     if tables is None:
         tables = build_gauss_tables(config)
-    if config.sift_mode in ("popsift", "vlfeat"):
+    if (config.sift_mode in ("popsift", "vlfeat")
+            or config.gauss_mode in ("fixed9", "fixed15")):
+        # fixed modes always use tshift = 0.5 * 2^upscale
+        # (s_pyramid_fixed.cu:236) regardless of the sift mode
         shift0 = 0.5 * (2.0 ** config.upscale_factor)
     else:
         shift0 = 0.5
@@ -88,12 +92,27 @@ def build_pyramid_plan(config: SiftConfig, height: int, width: int,
         dd_kernels=dd_kernels,
         lvl0_kernel_x=full_kernel(tables.dd[0], int(tables.dd_span[0])),
         lvl0_kernel_y=full_kernel(tables.inc[0], int(tables.inc_span[0])),
+        abs0_kernels=tuple(
+            full_kernel(tables.abs_o0[l], int(tables.abs_o0_span[l]))
+            for l in range(config.total_levels)),
     )
 
 
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
+
+def _input_as_float(img: jnp.ndarray) -> jnp.ndarray:
+    """Input normalization per image mode (popsift.cpp:143-148 dispatch):
+    uint8 reads through a normalized-float texture (val/255,
+    s_image.cu:140-169); float32 input (ImageFloat, s_image.cu:264-293)
+    reads element values as-is — callers feed [0, 1] floats and the
+    pyramid's out*255 scaling (s_pyramid_build_ra.cu:54) applies to both.
+    """
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
+
 
 def _lerp_rows(img: jnp.ndarray, pos: np.ndarray) -> jnp.ndarray:
     """Resample axis 0 of ``img`` at (static numpy) positions ``pos`` with
@@ -231,6 +250,21 @@ def _decimate2(x: jnp.ndarray) -> jnp.ndarray:
     return r.T[0::2, :].T
 
 
+def _decimate2_interpolate(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """get_by_2_interpolate (s_pyramid_build.cu:33-49): the linear
+    texture fetch at (2x+1, 2y+1) lands exactly on texel (2x+1, 2y+1)
+    (readTex adds 0.5; frac == 0), so this is odd-pixel decimation with
+    edge clamping for odd-sized sources."""
+    r = x[1::2, :]
+    if r.shape[0] < oh:
+        r = jnp.concatenate([r, x[-1:, :]], axis=0)
+    rt = r.T
+    c = rt[1::2, :]
+    if c.shape[0] < ow:
+        c = jnp.concatenate([c, rt[-1:, :]], axis=0)
+    return c.T
+
+
 def _octave_lvl0_from_input(img_u8: jnp.ndarray, plan: PyramidPlan,
                             octv: int) -> jnp.ndarray:
     """Direct-scaling path (ScalingMode ScaleDirect): build octave
@@ -241,7 +275,7 @@ def _octave_lvl0_from_input(img_u8: jnp.ndarray, plan: PyramidPlan,
     exactly as the reference documents."""
     oh, ow = plan.dims[octv]
     sh, sw = plan.in_h, plan.in_w
-    img = img_u8.astype(jnp.float32) / 255.0
+    img = _input_as_float(img_u8)
     kx = plan.dd_kernels[octv]
     pad = (kx.shape[0] - 1) // 2
     ry = sh / oh
@@ -258,22 +292,31 @@ def _octave_lvl0_from_input(img_u8: jnp.ndarray, plan: PyramidPlan,
     return _conv1d_valid(out, ky, axis=0)
 
 
-def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
-    """Build octave-0 level-0 from the input image.
+def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan,
+                    kx: np.ndarray | None = None,
+                    ky: np.ndarray | None = None) -> jnp.ndarray:
+    """Build an octave-0 level directly from the input image.
 
     Horizontal: resample rows at source positions
     (x + shift) * (src/dst) - 0.5 for an extended x range, then valid-mode
-    convolve with dd[0] — exactly equivalent to the reference's
-    normalized-coordinate taps spaced one destination pixel apart
-    (s_pyramid_build_ra.cu:37-53), including source-space clamping.
-    Vertical: inc[0] with destination-space clamping
+    convolve with ``kx`` (default dd[0]) — exactly equivalent to the
+    reference's normalized-coordinate taps spaced one destination pixel
+    apart (s_pyramid_build_ra.cu:37-53), including source-space clamping.
+    Vertical: ``ky`` (default inc[0]) with destination-space clamping
     (s_pyramid_build.cu:553-556 -> absoluteSource::vert).
+
+    The fixed9/fixed15 path passes ``kx == ky == abs_o0[level]`` — the
+    reference's relativeTexAddress::octave_fixed applies the same
+    absolute filter in both axes (s_pyramid_fixed.cu:129-203).
     """
     oh, ow = plan.dims[0]
     sh, sw = plan.in_h, plan.in_w
-    img = img_u8.astype(jnp.float32) / 255.0
+    img = _input_as_float(img_u8)
 
-    kx = plan.lvl0_kernel_x
+    if kx is None:
+        kx = plan.lvl0_kernel_x
+    if ky is None:
+        ky = plan.lvl0_kernel_y
     pad = (kx.shape[0] - 1) // 2
 
     if oh == 2 * sh and ow == 2 * sw and plan.shift0 == 1.0:
@@ -287,7 +330,7 @@ def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
         # every reshape layout-free: ~1 ms.)
 
         kxp = _phase_kernels(kx * 255.0)
-        kyp = _phase_kernels(plan.lvl0_kernel_y)
+        kyp = _phase_kernels(ky)
         px_pad = max(max(abs(q), abs(q + t.shape[0] - 1))
                      for t, q in kxp)
         py_pad = max(max(abs(q), abs(q + t.shape[0] - 1))
@@ -313,7 +356,6 @@ def _octave0_level0(img_u8: jnp.ndarray, plan: PyramidPlan) -> jnp.ndarray:
         r = _lerp_rows(r.T, xs).T                  # [oh, ow + 2*pad]
     out = _conv1d_valid(r, kx, axis=1) * 255.0     # [oh, ow]
 
-    ky = plan.lvl0_kernel_y
     pady = (ky.shape[0] - 1) // 2
     out = jnp.pad(out, ((pady, pady), (0, 0)), mode="edge")
     return _conv1d_valid(out, ky, axis=0)
@@ -342,16 +384,49 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
     # level 0 with the absolute filters; default is incremental.
     direct = cfg.scaling_mode == "direct"
     relative_all = cfg.gauss_mode == "vlfeat-relative-all"
+    fixed = cfg.gauss_mode in ("fixed9", "fixed15")
     blurs = []
     dogs = []
     prev_ds_level = None
+
+    def downscale(prev, oh, ow):
+        if cfg.downscale_mode == "interpolate":
+            return _decimate2_interpolate(prev, oh, ow)
+        return _decimate2(prev)[:oh, :ow]
+
     for octv, (oh, ow) in enumerate(plan.dims):
+        if fixed:
+            # Fixed9/Fixed15 fused-octave semantics
+            # (s_pyramid_fixed.cu:202-288): octave 0 builds EVERY level
+            # straight from the input with the absolute abs_o0 filters
+            # (same fixed-span filter both axes); octaves >0 downscale
+            # level 0 then build levels 1..5 from level 0 with abs_oN.
+            # DoG comes from adjacent levels inside the same pass.
+            if octv == 0:
+                levels = [
+                    _octave0_level0(img_u8, plan, kx=plan.abs0_kernels[l],
+                                    ky=plan.abs0_kernels[l])
+                    for l in range(total)]
+            else:
+                if direct:
+                    lvl0 = _octave_lvl0_from_input(img_u8, plan, octv)
+                else:
+                    lvl0 = downscale(prev_ds_level, oh, ow)
+                levels = [lvl0] + [
+                    _sep_blur(lvl0, plan.absN_kernels[l])
+                    for l in range(1, total)]
+            dog_layers = [levels[l + 1] - levels[l] for l in range(total - 1)]
+            blurs.append(jnp.stack(levels))
+            dogs.append(jnp.stack(dog_layers))
+            prev_ds_level = levels[total - 3]
+            continue
+
         if octv == 0:
             lvl0 = _octave0_level0(img_u8, plan)
         elif direct:
             lvl0 = _octave_lvl0_from_input(img_u8, plan, octv)
         else:
-            lvl0 = _decimate2(prev_ds_level)[:oh, :ow]
+            lvl0 = downscale(prev_ds_level, oh, ow)
         levels = [lvl0]
         dog_layers = []
         for lvl in range(1, total):

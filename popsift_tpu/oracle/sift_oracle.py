@@ -118,22 +118,63 @@ def oracle_pyramid(img_u8: np.ndarray, config: SiftConfig,
     """
     if tables is None:
         tables = build_gauss_tables(config)
-    assert config.gauss_mode == "vlfeat", "oracle supports vlfeat gauss mode"
+    fixed = config.gauss_mode in ("fixed9", "fixed15")
+    assert config.gauss_mode == "vlfeat" or fixed, \
+        "oracle supports vlfeat + fixed gauss modes"
     h, w = img_u8.shape
-    img = img_u8.astype(np.float64) / 255.0
+    if img_u8.dtype == np.uint8:
+        img = img_u8.astype(np.float64) / 255.0
+    else:
+        # ImageFloat input mode: element values used as-is
+        # (s_image.cu:264-293)
+        img = img_u8.astype(np.float64)
     total = config.total_levels
     dims = config.octave_dims(w, h)
 
-    # sub-pixel shift convention (s_pyramid_build.cu:109-123)
-    if config.sift_mode in ("popsift", "vlfeat"):
+    # sub-pixel shift convention (s_pyramid_build.cu:109-123; fixed modes
+    # always use 0.5 * 2^upscale, s_pyramid_fixed.cu:236)
+    if config.sift_mode in ("popsift", "vlfeat") or fixed:
         shift0 = 0.5 * (2.0 ** config.upscale_factor)
     else:
         shift0 = 0.5
+
+    def downscale(prev, oh, ow):
+        if config.downscale_mode == "interpolate":
+            # get_by_2_interpolate picks texel (2x+1, 2y+1) exactly
+            # (s_pyramid_build.cu:33-49); clamp for odd sources
+            ph, pw = prev.shape
+            yi = np.minimum(2 * np.arange(oh) + 1, ph - 1)
+            xi = np.minimum(2 * np.arange(ow) + 1, pw - 1)
+            return prev[np.ix_(yi, xi)]
+        return prev[0::2, 0::2][:oh, :ow]
 
     blurs = []
     dogs = []
     for octv, (oh, ow) in enumerate(dims):
         levels = np.zeros((total, oh, ow), dtype=np.float64)
+        if fixed:
+            # Fixed9/Fixed15 (s_pyramid_fixed.cu:202-288): octave 0 has
+            # every level built from the input with abs_o0 (same filter
+            # both axes); octaves >0 build levels 1.. from the
+            # downscaled level 0 with abs_oN.
+            if octv == 0:
+                for lvl in range(total):
+                    half = tables.abs_o0[lvl].astype(np.float64)
+                    span = int(tables.abs_o0_span[lvl])
+                    interm = _resample_from_input(img, oh, ow, shift0,
+                                                  half, span)
+                    levels[lvl] = _conv_half(interm, half, span, axis=0)
+            else:
+                prev = blurs[octv - 1][total - 3]
+                levels[0] = downscale(prev, oh, ow)
+                for lvl in range(1, total):
+                    half = tables.abs_oN[lvl].astype(np.float64)
+                    span = int(tables.abs_oN_span[lvl])
+                    tmp = _conv_half(levels[0], half, span, axis=1)
+                    levels[lvl] = _conv_half(tmp, half, span, axis=0)
+            blurs.append(levels.astype(F32))
+            dogs.append((levels[1:] - levels[:-1]).astype(F32))
+            continue
         if octv == 0:
             interm = _resample_from_input(img, oh, ow, shift0,
                                           tables.dd[0], int(tables.dd_span[0]))
@@ -141,7 +182,7 @@ def oracle_pyramid(img_u8: np.ndarray, config: SiftConfig,
                                    int(tables.inc_span[0]), axis=0)
         else:
             prev = blurs[octv - 1][total - 3]
-            levels[0] = prev[0::2, 0::2][:oh, :ow]
+            levels[0] = downscale(prev, oh, ow)
         for lvl in range(1, total):
             half = tables.inc[lvl].astype(np.float64)
             span = int(tables.inc_span[lvl])
@@ -515,6 +556,124 @@ def oracle_descriptor_grid(blur: np.ndarray, ext: OracleExtremum, ang: float,
     return desc[:, :, :8].reshape(128).astype(F32)
 
 
+def oracle_descriptor_tilegrid(blur: np.ndarray, ext: OracleExtremum,
+                               ang: float, config: SiftConfig) -> np.ndarray:
+    """True ``grid`` descriptor (s_desc_grid.cu:19-147): per tile a 16x16
+    rotated grid, absolute sample addresses rounded to integer pixels
+    (round half away from zero), axis-aligned integer-pixel gradients,
+    weights recomputed from the rounded position; samples leaving their
+    tile (w < 0) are skipped. Each sample feeds only its own tile."""
+    layer = blur[ext.level].astype(np.float64)
+    x, y, sig = ext.x, ext.y, ext.sigma
+    SBP = abs(DESC_MAGNIFY * sig)
+    if SBP == 0:
+        return np.zeros(128, F32)
+    cos_t, sin_t = math.cos(ang), math.sin(ang)
+
+    desc = np.zeros((4, 4, DESC_BINS + 1), dtype=np.float64)
+    for iy in range(4):
+        for ix in range(4):
+            offx, offy = ix - 1.5, iy - 1.5
+            ptx = cos_t * SBP * offx - sin_t * SBP * offy + x
+            pty = cos_t * SBP * offy + sin_t * SBP * offx + y
+            for yd in range(16):
+                for xd in range(16):
+                    # lft_dn + (xd+.5)*rgt_stp + (yd+.5)*up_stp
+                    pixox = (-cos_t + sin_t) + (xd + 0.5) * cos_t / 8.0 \
+                        - (yd + 0.5) * sin_t / 8.0
+                    pixoy = (-cos_t - sin_t) + (xd + 0.5) * sin_t / 8.0 \
+                        + (yd + 0.5) * cos_t / 8.0
+                    ax = ptx + pixox * SBP
+                    ay = pty + pixoy * SBP
+                    rx = math.copysign(math.floor(abs(ax) + 0.5), ax)
+                    ry = math.copysign(math.floor(abs(ay) + 0.5), ay)
+                    dx = (_bilinear2d(layer, rx + 1.0, ry)
+                          - _bilinear2d(layer, rx - 1.0, ry))
+                    dy = (_bilinear2d(layer, rx, ry + 1.0)
+                          - _bilinear2d(layer, rx, ry - 1.0))
+                    mod = math.hypot(dx, dy)
+                    th = math.atan2(dy, dx)
+                    pxo = (rx - ptx) / SBP
+                    pyo = (ry - pty) / SBP
+                    nx = cos_t * pxo + sin_t * pyo
+                    ny = cos_t * pyo - sin_t * pxo
+                    wx = 1.0 - abs(nx)
+                    wy = 1.0 - abs(ny)
+                    if wx < 0.0 or wy < 0.0:
+                        continue
+                    dnx = nx + offx
+                    dny = ny + offy
+                    ww = math.exp(-0.125 * (dnx * dnx + dny * dny))
+                    wgt = ww * wx * wy * mod
+                    th -= ang
+                    while th < 0:
+                        th += 2 * math.pi
+                    while th >= 2 * math.pi:
+                        th -= 2 * math.pi
+                    tth = th * (4.0 / math.pi)
+                    fo0 = int(math.floor(tth))
+                    do0 = tth - fo0
+                    fo = fo0 % DESC_BINS
+                    desc[iy, ix, fo] += (1.0 - do0) * wgt
+                    desc[iy, ix, fo + 1] += do0 * wgt
+    desc[:, :, 0] += desc[:, :, 8]
+    return desc[:, :, :8].reshape(128).astype(F32)
+
+
+def oracle_descriptor_iloop(blur: np.ndarray, ext: OracleExtremum,
+                            ang: float, config: SiftConfig) -> np.ndarray:
+    """``iloop`` descriptor (s_desc_iloop.cu:19-153): per tile, a 32x32
+    axis-aligned sample grid over the rotated tile bbox (half-width
+    |cos|+|sin| SBP units); rotated-offset bilinear gradients, theta
+    already in the rotated frame (no ``th -= ang``)."""
+    layer = blur[ext.level].astype(np.float64)
+    x, y, sig = ext.x, ext.y, ext.sigma
+    SBP = abs(DESC_MAGNIFY * sig)
+    if SBP == 0:
+        return np.zeros(128, F32)
+    cos_t, sin_t = math.cos(ang), math.sin(ang)
+    bsz = abs(cos_t) + abs(sin_t)
+
+    desc = np.zeros((4, 4, DESC_BINS + 1), dtype=np.float64)
+    for iy in range(4):
+        for ix in range(4):
+            offx, offy = ix - 1.5, iy - 1.5
+            ptx = cos_t * SBP * offx - sin_t * SBP * offy
+            pty = cos_t * SBP * offy + sin_t * SBP * offx
+            for i in range(32):
+                dy_ = -bsz + i * bsz / 16.0
+                for j in range(32):
+                    dx_ = -bsz + j * bsz / 16.0
+                    nx = cos_t * dx_ + sin_t * dy_
+                    ny = cos_t * dy_ - sin_t * dx_
+                    if abs(nx) >= 1.0 or abs(ny) >= 1.0:
+                        continue
+                    px = x + ptx + dx_ * SBP
+                    py = y + pty + dy_ * SBP
+                    gdx = (_bilinear2d(layer, px + cos_t, py + sin_t)
+                           - _bilinear2d(layer, px - cos_t, py - sin_t))
+                    gdy = (_bilinear2d(layer, px - sin_t, py + cos_t)
+                           - _bilinear2d(layer, px + sin_t, py - cos_t))
+                    mod = math.hypot(gdx, gdy)
+                    th = math.atan2(gdy, gdx)
+                    if th < 0:
+                        th += 2 * math.pi
+                    if th >= 2 * math.pi:
+                        th -= 2 * math.pi
+                    dnx = nx + offx
+                    dny = ny + offy
+                    ww = math.exp(-0.125 * (dnx * dnx + dny * dny))
+                    wgt = ww * (1.0 - abs(nx)) * (1.0 - abs(ny)) * mod
+                    tth = th * (4.0 / math.pi)
+                    fo0 = int(math.floor(tth))
+                    do0 = tth - fo0
+                    fo = fo0 % DESC_BINS
+                    desc[iy, ix, fo] += (1.0 - do0) * wgt
+                    desc[iy, ix, fo + 1] += do0 * wgt
+    desc[:, :, 0] += desc[:, :, 8]
+    return desc[:, :, :8].reshape(128).astype(F32)
+
+
 def oracle_descriptor_loop(blur: np.ndarray, ext: OracleExtremum, ang: float,
                            config: SiftConfig) -> np.ndarray:
     """Loop descriptor: per-tile pixel scan (s_desc_loop.cu:19-138).
@@ -610,8 +769,15 @@ def oracle_extract(img_u8: np.ndarray, config: SiftConfig,
                 continue
             e.orientations = angs
             for ang in angs:
-                if desc_variant == "grid":
+                # variant names map 1:1 onto the reference DescModes;
+                # "igrid"/"notile" share the 40x40 formulation (see
+                # oracle_descriptor_grid docstring)
+                if desc_variant in ("grid-igrid", "igrid", "notile"):
                     d = oracle_descriptor_grid(blur, e, ang, config)
+                elif desc_variant == "grid":
+                    d = oracle_descriptor_tilegrid(blur, e, ang, config)
+                elif desc_variant == "iloop":
+                    d = oracle_descriptor_iloop(blur, e, ang, config)
                 else:
                     d = oracle_descriptor_loop(blur, e, ang, config)
                 e.descriptors.append(normalize_descriptor(d, config))

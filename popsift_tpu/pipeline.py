@@ -61,6 +61,9 @@ class SiftFeatures(NamedTuple):
     # per-octave pre-refinement candidate counts (capacity calibration);
     # saturates at the octave capacity
     octave_candidates: jnp.ndarray   # i32[n_octaves]
+    # per-octave candidates dropped by the compaction density clamp —
+    # nonzero means the scene outgrew the calibrated capacity plan
+    octave_dropped: jnp.ndarray      # i32[n_octaves]
 
 
 @dataclass(frozen=True)
@@ -192,9 +195,65 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         n_keypoints=jnp.sum(valid, dtype=jnp.int32),
         n_descriptors=jnp.sum(desc_valid, dtype=jnp.int32),
         octave_candidates=jnp.stack([e.n_candidates for e in exts]),
+        octave_dropped=jnp.stack([e.n_dropped for e in exts]),
     )
 
 
 def make_extract_fn(plan: ExtractPlan, desc_chunk: int = 1024):
     """Jitted single-image extraction closure."""
     return jax.jit(lambda img: extract(img, plan, desc_chunk=desc_chunk))
+
+
+def saturation_report(feats: SiftFeatures, plan: ExtractPlan) -> list:
+    """Human-readable warnings when an octave hit its candidate capacity
+    or the compaction density clamp dropped candidates.
+
+    The reference silently clamps to ``max_extrema``
+    (s_extrema.cu:551-561); here saturation is observable so deployments
+    can re-run :func:`calibrate_plan` when the scene changes.
+    """
+    warnings = []
+    cand = np.asarray(feats.octave_candidates)
+    dropped = np.asarray(feats.octave_dropped)
+    for octv, cap in enumerate(plan.ext_caps):
+        if cand[octv] >= cap:
+            warnings.append(
+                f"octave {octv}: candidate count saturated at capacity "
+                f"{cap}; keypoints are being silently dropped — "
+                f"recalibrate with calibrate_plan() or raise "
+                f"extrema_capacity")
+        if dropped[octv] > 0:
+            warnings.append(
+                f"octave {octv}: {int(dropped[octv])} candidates dropped "
+                f"by the per-block density clamp; raise "
+                f"config.compact_block_k or the peak threshold")
+    return warnings
+
+
+def calibrate_plan(config: SiftConfig, frames, height: int | None = None,
+                   width: int | None = None, headroom: float = 1.5,
+                   probe_capacity: int = 8192) -> ExtractPlan:
+    """Measure per-octave candidate counts on representative ``frames``
+    and return a plan with right-sized (pinned) octave capacities.
+
+    Downstream orientation/descriptor compute is proportional to the
+    padded capacity, so production deployments calibrate once per
+    camera/scene. ``headroom`` scales the observed per-octave maximum;
+    capacities are rounded up to a multiple of 128 (+128 guard).
+
+    The reference counterpart is ``reallocExtrema``'s grow-to-fit
+    (sift_pyramid.cu:179-209) — which needs a second pass too (realloc +
+    re-run) the first time a scene outgrows the buffers.
+    """
+    frames = list(frames)
+    if height is None or width is None:
+        height, width = frames[0].shape[-2:]
+    probe_cfg = config.replace(extrema_capacity=probe_capacity)
+    probe_fn = make_extract_fn(build_extract_plan(probe_cfg, height, width))
+    cand = np.zeros(len(config.octave_dims(width, height)), np.int64)
+    for f in frames:
+        out = probe_fn(f)
+        cand = np.maximum(cand, np.asarray(out.octave_candidates))
+    caps = tuple(int(max(256, -(-int(c * headroom) // 128) * 128 + 128))
+                 for c in cand)
+    return build_extract_plan(config, height, width, octave_caps=caps)

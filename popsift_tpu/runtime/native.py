@@ -21,11 +21,19 @@ import numpy as np
 
 from .build import lib_path
 
-_so = lib_path()
+try:
+    _so = lib_path()
+except Exception as _e:            # compiler present but build failed
+    raise ImportError(f"native host runtime build failed: {_e}") from _e
 if _so is None:
     raise ImportError("native host runtime unavailable (no C++ toolchain)")
 
-_lib = C.CDLL(_so)
+try:
+    _lib = C.CDLL(_so)
+except OSError as _e:
+    # e.g. a stale/foreign prebuilt .so incompatible with this platform;
+    # surface as ImportError so callers fall back to the Python codec
+    raise ImportError(f"native host runtime unloadable: {_e}") from _e
 
 _lib.ps_pnm_decode_gray.restype = C.c_int
 _lib.ps_pnm_decode_gray.argtypes = [
@@ -103,8 +111,11 @@ class DecodeJob:
         self._h = handle
         self._pl = pipeline
         self._result = None
+        self._error = None
 
     def done(self) -> bool:
+        if self._h is None:
+            return True            # finished (either result or error)
         return bool(_lib.ps_job_poll(self._h))
 
     def get(self) -> np.ndarray:
@@ -112,11 +123,16 @@ class DecodeJob:
         staging slab so the slab can be recycled immediately)."""
         if self._result is not None:
             return self._result
+        if self._h is None:
+            # handle already released by a previous failed get(); calling
+            # into the library with NULL would segfault
+            raise IOError(f"decode job failed: {self._error}")
         rc = _lib.ps_job_wait(self._h)
         if rc != 0:
             _lib.ps_job_release(self._h)
             self._h = None
-            raise IOError(f"decode job failed: {_STATUS.get(rc, rc)}")
+            self._error = _STATUS.get(rc, rc)
+            raise IOError(f"decode job failed: {self._error}")
         w = C.c_uint32()
         h = C.c_uint32()
         ptr = _lib.ps_job_data(self._h, C.byref(w), C.byref(h))

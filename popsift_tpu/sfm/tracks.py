@@ -33,19 +33,31 @@ class Tracks:
 class _UnionFind:
     def __init__(self):
         self.parent = {}
+        self.size = {}
 
     def find(self, a):
-        p = self.parent.setdefault(a, a)
-        if p == a:
+        # iterative two-pass path compression: long match chains (video
+        # sequences) would overflow Python's recursion limit otherwise
+        parent = self.parent
+        if a not in parent:
+            parent[a] = a
+            self.size[a] = 1
             return a
-        root = self.find(p)
-        self.parent[a] = root
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
         return root
 
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:      # union by size
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
 
 
 def build_tracks(pair_matches: dict, keypoints: dict,
