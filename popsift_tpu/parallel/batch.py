@@ -68,3 +68,64 @@ def make_batched_extract_fn(cfg: SiftConfig, height: int, width: int,
         in_specs=(spec,),
         out_specs=(spec, spec if match_pairs else None))
     return jax.jit(mapped)
+
+
+def make_allpairs_match_fn(mesh: Mesh, axis_name: str = "dp",
+                           ratio: float = None, tile: int = 2048):
+    """Block-sharded exhaustive pairwise matching (the O(N^2) SfM
+    frontend plan, SURVEY.md section 7 L4).
+
+    Returns a jitted fn: (desc f32[N, C, 128], valid bool[N, C]) sharded
+    over images -> MatchResult pytree of [N, N, C] arrays (row i =
+    image i's descriptors matched against every image j's set; the
+    diagonal is a self-match and should be ignored by the caller).
+
+    Systolic ring: each device keeps its left block resident and streams
+    the right descriptor blocks around the ring over ICI
+    (``lax.ppermute``), matching B x B image pairs per step — N^2/n
+    pairs per device over n steps, with only one extra block of
+    descriptors in flight per device at any time. The per-pair kernel is
+    the tiled MXU matcher (ops/matching.py::match_descriptors).
+    """
+    from ..ops.matching import RATIO, match_descriptors
+    if ratio is None:
+        ratio = RATIO
+    n = mesh.shape[axis_name]
+
+    def local_fn(desc, valid):          # [B, C, 128], [B, C]
+        me = jax.lax.axis_index(axis_name)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def pair_block(rd, rv):
+            # all (left i, right j) pairs between the resident left
+            # block and the streamed right block
+            return jax.vmap(
+                lambda dl, vl: jax.vmap(
+                    lambda dr, vr: match_descriptors(
+                        dl, vl, dr, vr, ratio=ratio, tile=tile)
+                )(rd, rv)
+            )(desc, valid)
+
+        def step(carry, _):
+            rd, rv = carry
+            res = pair_block(rd, rv)
+            rd = jax.lax.ppermute(rd, axis_name, perm)
+            rv = jax.lax.ppermute(rv, axis_name, perm)
+            return (rd, rv), res
+
+        _, res = jax.lax.scan(step, (desc, valid), None, length=n)
+        # step k matched the right block owned by device (me - k) mod n;
+        # reorder to global owner order o via reverse + roll:
+        # res[::-1] rolled by me+1 puts owner o at position o.
+        res = jax.tree.map(
+            lambda a: jnp.roll(a[::-1], me + 1, axis=0), res)
+        # [n, B(left), B(right), C] -> [B(left), n*B(right), C]
+        def flatten(a):
+            a = jnp.moveaxis(a, 0, 1)           # [B, n, B, C...]
+            return a.reshape((a.shape[0], n * a.shape[2]) + a.shape[3:])
+        return jax.tree.map(flatten, res)
+
+    mapped = shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(axis_name), P(axis_name)),
+                       out_specs=P(axis_name))
+    return jax.jit(mapped)

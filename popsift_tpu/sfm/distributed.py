@@ -45,26 +45,24 @@ def partition_by_point(p: BAProblem, n_shards: int) -> BAProblem:
     ov = np.asarray(p.obs_valid)
     Np = pts.shape[0]
 
-    # round-robin points over shards
-    pad_np = (-Np) % n_shards
-    np_per = (Np + pad_np) // n_shards
+    # round-robin points over shards, padding EVERY shard to np_per
+    # (with Np not divisible by n_shards, shards get floor or ceil
+    # counts — each must be padded individually so the per-shard local
+    # indices line up with the [n_shards, np_per] point layout)
+    np_per = -(-Np // n_shards) if Np else 1
     pt_shard = np.arange(Np) % n_shards
-    order = np.argsort(pt_shard, kind="stable")
-    pts2 = np.concatenate(
-        [pts, np.zeros((pad_np, 3), pts.dtype)])[
-        np.concatenate([order, np.arange(Np, Np + pad_np)])]
+    pts2 = np.zeros((n_shards, np_per, 3), pts.dtype)
     new_index = np.empty(Np, np.int64)
-    new_index[order] = np.arange(Np)
+    for s in range(n_shards):
+        ids = np.nonzero(pt_shard == s)[0]
+        pts2[s, :len(ids)] = pts[ids]
+        new_index[ids] = s * np_per + np.arange(len(ids))
 
     # group observations by point shard
     obs_shard = pt_shard[op]
-    max_obs = 0
-    grouped = []
-    for s in range(n_shards):
-        rows = np.nonzero((obs_shard == s) & ov)[0]
-        grouped.append(rows)
-        max_obs = max(max_obs, len(rows))
-    No_per = max_obs
+    grouped = [np.nonzero((obs_shard == s) & ov)[0]
+               for s in range(n_shards)]
+    No_per = max(max(len(r) for r in grouped), 1)
 
     n_oc = np.zeros((n_shards, No_per), np.int32)
     n_op = np.zeros((n_shards, No_per), np.int32)
@@ -80,7 +78,7 @@ def partition_by_point(p: BAProblem, n_shards: int) -> BAProblem:
 
     return BAProblem(
         cams=jnp.asarray(cams),
-        points=jnp.asarray(pts2.reshape(n_shards, np_per, 3)),
+        points=jnp.asarray(pts2),
         intr=p.intr,
         obs_cam=jnp.asarray(n_oc),
         obs_pt=jnp.asarray(n_op),

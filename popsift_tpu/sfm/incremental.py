@@ -276,3 +276,21 @@ class IncrementalSfM:
             return
         from .checkpoint import save_reconstruction
         save_reconstruction(self.checkpoint_dir, self.rec, tag=tag)
+
+    @classmethod
+    def resume(cls, tracks: Tracks, checkpoint_dir: str, seed: int = 0,
+               **kw) -> "IncrementalSfM":
+        """Restart a killed run from the LATEST checkpoint.
+
+        The reconstruction state (cameras, points, registered set) is
+        restored; ``register_next``/``global_ba`` then continue exactly
+        where the crashed process left off. The reference exit()s on any
+        failure with no recovery path (debug_macros.cu:36-45) — this is
+        the elastic-recovery capability SURVEY.md section 5 requires.
+        """
+        from .checkpoint import load_reconstruction
+        rec = load_reconstruction(checkpoint_dir)
+        sfm = cls(tracks, rec.intr, seed=seed,
+                  checkpoint_dir=checkpoint_dir, **kw)
+        sfm.rec = rec
+        return sfm

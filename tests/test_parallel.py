@@ -55,3 +55,44 @@ def test_ring_matching_over_ici():
     for i in range(8):
         assert acc[i].sum() > 0.3 * max(nvalid[i], 1), \
             f"pair {i}->{(i + 1) % 8}: {acc[i].sum()}/{nvalid[i]} matches"
+
+
+def test_allpairs_sharded_matching():
+    """Systolic ring all-pairs matching must reproduce the local
+    all-pairs result for every (i, j) pair (VERDICT round-2 item 9)."""
+    from popsift_tpu.ops.matching import match_brute_small
+    from popsift_tpu.parallel.batch import make_allpairs_match_fn
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    N, C = 8, 48
+    desc = rng.normal(size=(N, C, 128)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    # plant strong matches between every pair
+    for i in range(N):
+        for j in range(i + 1, N):
+            desc[j, (i * 3) % C] = desc[i, (j * 5) % C] + \
+                rng.normal(scale=0.01, size=128).astype(np.float32)
+    valid = rng.random((N, C)) < 0.9
+
+    mesh = make_mesh(4, axis_name="dp")
+    fn = make_allpairs_match_fn(mesh, axis_name="dp", tile=32)
+    res = fn(jnp.asarray(desc), jnp.asarray(valid))
+
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            want = match_brute_small(
+                jnp.asarray(desc[i]), jnp.asarray(valid[i]),
+                jnp.asarray(desc[j]), jnp.asarray(valid[j]))
+            np.testing.assert_array_equal(
+                np.asarray(res.accept[i, j]), np.asarray(want.accept),
+                err_msg=f"pair {i},{j}")
+            acc = np.asarray(want.accept)
+            np.testing.assert_array_equal(
+                np.asarray(res.best_idx[i, j])[acc],
+                np.asarray(want.best_idx)[acc])
+            np.testing.assert_allclose(
+                np.asarray(res.best_dist[i, j])[acc],
+                np.asarray(want.best_dist)[acc], atol=1e-5)

@@ -118,3 +118,65 @@ def test_incremental_reconstruction_and_ate(tmp_path):
     assert rec2.registered == sfm.rec.registered
     np.testing.assert_allclose(rec2.cam_t[2], sfm.rec.cam_t[2], atol=1e-6)
     assert len(rec2.points) == len(sfm.rec.points)
+
+
+@pytest.mark.slow
+def test_fault_injection_resume(tmp_path):
+    """Kill an SfM run mid-registration (subprocess hard-exit), resume
+    from LATEST, and converge to the same reconstruction as an
+    uninterrupted run (VERDICT round-2 item 10)."""
+    import os
+    import subprocess
+    import sys
+
+    ck = str(tmp_path / "ck")
+    driver = f"""
+import os, sys
+sys.path.insert(0, {os.path.dirname(__file__)!r})
+sys.path.insert(0, {os.path.join(os.path.dirname(__file__), "..")!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+from test_sfm_incremental import INTR, make_multiview, tracks_from_gt
+from popsift_tpu.sfm.incremental import IncrementalSfM
+rng = np.random.default_rng(7)
+X, cams, kps = make_multiview(rng, n_pts=60, n_cams=5, noise=0.0)
+tracks = tracks_from_gt(kps, 60)
+sfm = IncrementalSfM(tracks, INTR, checkpoint_dir={ck!r})
+sfm.initialize()
+sfm.register_next()
+os._exit(17)    # simulated crash mid-run: no cleanup, no final BA
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcc")
+    p = subprocess.run([sys.executable, "-c", driver], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert p.returncode == 17, p.stderr[-3000:]
+    assert os.path.exists(os.path.join(ck, "LATEST"))
+
+    # resume from the crash point and finish
+    rng = np.random.default_rng(7)
+    X, cams, kps = make_multiview(rng, n_pts=60, n_cams=5, noise=0.0)
+    tracks = tracks_from_gt(kps, 60)
+    sfm = IncrementalSfM.resume(tracks, ck)
+    assert len(sfm.rec.registered) == 3     # init pair + 1 registration
+    while sfm.register_next() is not None:
+        pass
+    sfm.global_ba(iters=8)
+    assert len(sfm.rec.registered) == 5
+
+    # reference: uninterrupted run on the same scene
+    ref = IncrementalSfM(tracks, INTR)
+    ref.initialize()
+    while ref.register_next() is not None:
+        pass
+    ref.global_ba(iters=8)
+
+    def centers(rec):
+        return np.stack([-(rec.cam_R[i].T @ rec.cam_t[i])
+                         for i in range(5)])
+
+    np.testing.assert_allclose(centers(sfm.rec), centers(ref.rec),
+                               atol=1e-3)
+    assert len(sfm.rec.points) == len(ref.rec.points)

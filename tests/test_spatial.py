@@ -43,3 +43,84 @@ def test_sharded_pyramid_rejects_bad_height():
         make_sharded_pyramid_fn(cfg, 63, 96, mesh)
     with pytest.raises(ValueError):
         make_sharded_pyramid_fn(cfg, 64, 96, mesh)  # band < halo
+
+
+# ---------------------------------------------------------------------------
+# End-to-end sharded extraction (round-2 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+def _feature_sets(feats):
+    """(sorted keypoint rows, per-kp descriptor lists) from SiftFeatures."""
+    valid = np.asarray(feats.valid)
+    rows = np.nonzero(valid)[0]
+    x = np.asarray(feats.x)[rows]
+    y = np.asarray(feats.y)[rows]
+    sig = np.asarray(feats.sigma)[rows]
+    nori = np.asarray(feats.num_ori)[rows]
+    order = np.lexsort((sig, y, x))
+    kp = np.stack([x, y, sig, nori], axis=1)[order]
+
+    dvalid = np.asarray(feats.desc_valid)
+    drows = np.nonzero(dvalid)[0]
+    dkp = np.asarray(feats.desc_kp)[drows]
+    desc = np.asarray(feats.desc)[drows]
+    by_kp = {}
+    for d, k in zip(desc, dkp):
+        by_kp.setdefault(int(k), []).append(d)
+    # keypoint global row -> position key
+    key_of = {int(r): (float(np.asarray(feats.x)[r]),
+                       float(np.asarray(feats.y)[r])) for r in rows}
+    desc_sets = {}
+    for k, ds in by_kp.items():
+        desc_sets[key_of[k]] = np.sort(np.stack(ds), axis=0)
+    return kp, desc_sets
+
+
+@pytest.mark.distributed
+@pytest.mark.slow
+def test_sharded_extract_parity():
+    """Full sharded extraction on a 4-device row mesh must reproduce the
+    single-device keypoint + descriptor sets (band interiors are
+    bit-identical; only ordering differs)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from conftest import synthetic_image
+    from popsift_tpu.parallel.spatial import make_sharded_extract_fn
+    from popsift_tpu.pipeline import build_extract_plan, extract
+
+    H, W = 224, 160
+    img = synthetic_image(H, W, seed=11)
+    cfg = SiftConfig(octaves=4, extrema_capacity=512)
+    mesh = make_mesh(4, axis_name="sp")
+
+    fn, eff_caps = make_sharded_extract_fn(cfg, H, W, mesh)
+    out_s = fn(jnp.asarray(img))
+
+    plan = build_extract_plan(cfg, H, W, octave_caps=eff_caps)
+    out_p = extract(jnp.asarray(img), plan)
+
+    assert int(out_s.n_keypoints) == int(out_p.n_keypoints) > 10
+    assert int(out_s.n_descriptors) == int(out_p.n_descriptors)
+
+    kp_s, ds_s = _feature_sets(out_s)
+    kp_p, ds_p = _feature_sets(out_p)
+    np.testing.assert_allclose(kp_s, kp_p, atol=2e-4)
+    assert len(ds_s) == len(ds_p)
+    for key in ds_s:
+        near = min(ds_p, key=lambda q: abs(q[0] - key[0])
+                   + abs(q[1] - key[1]))
+        assert abs(near[0] - key[0]) + abs(near[1] - key[1]) < 1e-3, key
+        a, b = ds_s[key], ds_p[near]
+        assert a.shape == b.shape, key
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+@pytest.mark.distributed
+def test_sharded_extract_rejects_unsupported():
+    from popsift_tpu.parallel.spatial import make_sharded_extract_fn
+    mesh = make_mesh(4, axis_name="sp")
+    with pytest.raises(ValueError):
+        make_sharded_extract_fn(SiftConfig(scaling_mode="direct"),
+                                224, 160, mesh)
+    with pytest.raises(ValueError):
+        make_sharded_extract_fn(SiftConfig(), 225, 160, mesh)
