@@ -40,7 +40,20 @@ def build_parser():
     p.add_argument("--filter-grid", type=int, default=2)
     p.add_argument("--filter-sort", default="largest",
                    choices=["random", "largest", "smallest"])
+    p.add_argument("--float-mode", action="store_true",
+                   help="process as float image (ImageFloat input mode, "
+                        "popsift.cpp:143-148)")
+    p.add_argument("--test-direct-scaling", action="store_true",
+                   help="direct scaling mode: every octave built from "
+                        "the input image (ScalingMode ScaleDirect)")
+    p.add_argument("--norm-mode", default=None,
+                   choices=["rootsift", "classic"],
+                   help="string form of --root-sift/--classic-norm")
+    p.add_argument("--pgmread-loading", action="store_true",
+                   help="force the PGM/PNM codec (no PIL fallback)")
     p.add_argument("-o", "--output", default="output-features.txt")
+    p.add_argument("--dont-write", action="store_true",
+                   help="skip writing the output feature file")
     p.add_argument("--write-as-uchar", action="store_true")
     p.add_argument("--print-time-info", action="store_true")
     p.add_argument("--log", action="store_true",
@@ -71,13 +84,15 @@ def config_from_args(args):
         gauss_mode=args.gauss_mode,
         sift_mode=mode,
         desc_mode=args.desc_mode,
-        norm_mode="classic" if args.classic_norm else "rootsift",
+        norm_mode=args.norm_mode if args.norm_mode else
+        ("classic" if args.classic_norm else "rootsift"),
         norm_multiplier=args.norm_multi,
         initial_blur=args.initial_blur,
         assume_initial_blur=args.initial_blur > 0,
         filter_max_extrema=args.filter_max_extrema,
         filter_grid_size=args.filter_grid,
         grid_filter_mode=args.filter_sort,
+        scaling_mode="direct" if args.test_direct_scaling else "indirect",
         verbose=args.verbose,
     )
 
@@ -91,7 +106,15 @@ def main(argv=None):
         from popsift_tpu.utils.device import device_report
         device_report()
 
-    img = load_image(args.input)
+    if args.pgmread_loading:
+        from popsift_tpu.io.image import read_pgm
+        img = read_pgm(args.input)
+    else:
+        img = load_image(args.input)
+    if args.float_mode:
+        # ImageFloat input mode (s_image.cu:264-293): element-type float
+        import numpy as np
+        img = img.astype(np.float32) / 255.0
     cfg = config_from_args(args)
 
     if args.print_gauss_tables:
@@ -120,7 +143,8 @@ def main(argv=None):
     if args.print_time_info:
         print(f"Time: {dt * 1000:.1f} ms (including compilation on first call)")
 
-    feats.save(args.output, write_as_uchar=args.write_as_uchar)
+    if not args.dont_write:
+        feats.save(args.output, write_as_uchar=args.write_as_uchar)
 
     if args.log:
         import os

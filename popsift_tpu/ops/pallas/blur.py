@@ -153,3 +153,169 @@ def blur_dog_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-octave chain: levels 1..L-1 + all DoGs in one pass
+# ---------------------------------------------------------------------------
+
+_TH_CHAIN = 256  # output rows per grid step
+
+
+def _octave_chain_kernel(x_hbm, *refs, taps_per_level, Scum, Vcum, Wo,
+                         Hcum, H, W):
+    """Grid step i computes rows [i*TH, i*TH+TH) of EVERY level.
+
+    The incremental chain blur_l = G_l * blur_{l-1} re-reads each level
+    from HBM in the XLA formulation (~(L-1) * 4 array passes per
+    octave); here level 0 is read ONCE per tile (with the cumulative
+    halo of all downstream filters) and the whole chain runs in VMEM,
+    writing only the final outputs — the s_pyramid_fixed.cu:93-119 idea
+    applied to the incremental filter bank.
+
+    Each level's separable conv keeps the tile shape constant by
+    edge-padding inside the tile; those edge columns/rows are garbage
+    but lie strictly outside the remaining cumulative halo of later
+    levels, so the central [TH, Wo] output region is exact.
+    """
+    nlev = len(taps_per_level)
+    blur_refs = refs[:nlev]
+    dog_refs = refs[nlev:2 * nlev]
+    scratch, sems = refs[2 * nlev], refs[2 * nlev + 1]
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    TH = _TH_CHAIN
+    slot = jax.lax.rem(i, 2)
+
+    def dma(to_slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(tile * TH, TH + 2 * Vcum), :],
+            scratch.at[to_slot],
+            sems.at[to_slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+    dma(slot, i).wait()
+    prev = scratch[slot]                       # [TH+2Vcum, Wtot]
+    Ht, Wt = prev.shape
+
+    def edge_pad_cols(x, s):
+        left = jnp.broadcast_to(x[:, :1], (x.shape[0], s))
+        right = jnp.broadcast_to(x[:, -1:], (x.shape[0], s))
+        return jnp.concatenate([left, x, right], axis=1)
+
+    def edge_pad_rows(x, s):
+        top = jnp.broadcast_to(x[:1, :], (s, x.shape[1]))
+        bot = jnp.broadcast_to(x[-1:, :], (s, x.shape[1]))
+        return jnp.concatenate([top, x, bot], axis=0)
+
+    # image coordinates of the tile's rows/cols, for per-level border
+    # re-replication (the reference's clamped texture reads replicate
+    # EACH level's border, not level 0's; without this fixup levels >= 2
+    # would see "blur of replicated level-0" in the halo instead of
+    # "replicated blur")
+    g_row = (jax.lax.broadcasted_iota(jnp.int32, (Ht, 1), 0)
+             + i * TH - Vcum)
+    g_col = jax.lax.broadcasted_iota(jnp.int32, (1, Wt), 1) - Hcum
+    bot_local = jnp.clip(Vcum + (H - 1) - i * TH, 0, Ht - 1)
+
+    def replicate_borders(cur):
+        left = cur[:, Hcum:Hcum + 1]
+        right = cur[:, Hcum + W - 1:Hcum + W]
+        cur = jnp.where(g_col < 0, left, cur)
+        cur = jnp.where(g_col > W - 1, right, cur)
+        top = cur[Vcum:Vcum + 1, :]
+        bot = jax.lax.dynamic_slice_in_dim(cur, bot_local, 1, axis=0)
+        cur = jnp.where(g_row < 0, top, cur)
+        cur = jnp.where(g_row > H - 1, bot, cur)
+        return cur
+
+    for l, taps in enumerate(taps_per_level):
+        S = len(taps) - 1
+        xh = edge_pad_cols(prev, S)
+        acc = xh[:, S:S + Wt] * taps[0]
+        for off in range(1, S + 1):
+            acc += (xh[:, S - off:S - off + Wt]
+                    + xh[:, S + off:S + off + Wt]) * taps[off]
+        xv = edge_pad_rows(acc, S)
+        cur = xv[S:S + Ht, :] * taps[0]
+        for off in range(1, S + 1):
+            cur += (xv[S - off:S - off + Ht, :]
+                    + xv[S + off:S + off + Ht, :]) * taps[off]
+        cur = replicate_borders(cur)
+        blur_refs[l][:] = cur[Vcum:Vcum + TH, Hcum:Hcum + Wo]
+        dog_refs[l][:] = (cur[Vcum:Vcum + TH, Hcum:Hcum + Wo]
+                          - prev[Vcum:Vcum + TH, Hcum:Hcum + Wo])
+        prev = cur
+
+
+@functools.partial(jax.jit, static_argnames=("taps_per_level", "Wo",
+                                             "H", "W", "interpret"))
+def _octave_chain_call(xp, taps_per_level, Wo, H, W, interpret=False):
+    Scum = sum(len(t) - 1 for t in taps_per_level)
+    Vcum = _round_up(Scum, 4)
+    Hp, Wt = xp.shape
+    TH = _TH_CHAIN
+    Ho = Hp - 2 * Vcum
+    nlev = len(taps_per_level)
+    Hcum = (Wt - Wo) // 2
+
+    kernel = functools.partial(_octave_chain_kernel,
+                               taps_per_level=taps_per_level,
+                               Scum=Scum, Vcum=Vcum, Wo=Wo, Hcum=Hcum,
+                               H=H, W=W)
+    out_spec = pl.BlockSpec((TH, Wo), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Ho, Wo), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(Ho // TH,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple([out_spec] * (2 * nlev)),
+        out_shape=tuple([out_shape] * (2 * nlev)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2 * Vcum, Wt), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(xp)
+
+
+def octave_blur_chain(lvl0: jnp.ndarray, kernels, interpret: bool = False):
+    """Fused incremental blur chain for one octave.
+
+    lvl0: f32[H, W]; kernels: list of full symmetric 1-D filters for
+    levels 1..L-1. Returns (blurs, dogs): lists of f32[H, W], where
+    blurs[l-1] is level l and dogs[l-1] = blur_l - blur_{l-1}, all with
+    edge-replicated borders — numerically the `_sep_blur` chain.
+    """
+    H, W = lvl0.shape
+    Ss = [(k.shape[0] - 1) // 2 for k in kernels]
+    Scum = sum(Ss)
+    Vcum = _round_up(Scum, 4)
+    TH = _TH_CHAIN
+    Ho = _round_up(max(H, TH), TH)
+    Wo = _round_up(max(W, 128), 128)
+    Wt = _round_up(Wo + 2 * Scum, 128)
+    Hcum = (Wt - Wo) // 2
+
+    xp = jnp.pad(lvl0, ((Vcum, Ho - H + Vcum),
+                        (Hcum, Wt - W - Hcum)), mode="edge")
+    taps_per_level = tuple(
+        tuple(float(k[s + i]) for i in range(s + 1))
+        for k, s in zip(kernels, Ss))
+    outs = _octave_chain_call(xp, taps_per_level, Wo, H, W,
+                              interpret=interpret)
+    nlev = len(kernels)
+    blurs = [o[:H, :W] for o in outs[:nlev]]
+    dogs = [o[:H, :W] for o in outs[nlev:]]
+    return blurs, dogs

@@ -427,19 +427,29 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
             lvl0 = _octave_lvl0_from_input(img_u8, plan, octv)
         else:
             lvl0 = downscale(prev_ds_level, oh, ow)
-        levels = [lvl0]
-        dog_layers = []
-        for lvl in range(1, total):
-            if relative_all:
-                levels.append(_sep_blur(lvl0, plan.absN_kernels[lvl]))
-                dog_layers.append(levels[-1] - levels[-2])
-            elif use_pallas:
-                b, d = blur_and_dog(levels[-1], plan.inc_kernels[lvl])
-                levels.append(b)
-                dog_layers.append(d)
-            else:
-                levels.append(_sep_blur(levels[-1], plan.inc_kernels[lvl]))
-                dog_layers.append(levels[-1] - levels[-2])
+        if use_pallas == "chain" and not relative_all:
+            # fused whole-octave kernel: lvl0 read once, all levels +
+            # DoGs written in a single VMEM pass (ops/pallas/blur.py)
+            from .pallas.blur import octave_blur_chain
+            bl, dg = octave_blur_chain(
+                lvl0, [plan.inc_kernels[lvl] for lvl in range(1, total)])
+            levels = [lvl0] + bl
+            dog_layers = dg
+        else:
+            levels = [lvl0]
+            dog_layers = []
+            for lvl in range(1, total):
+                if relative_all:
+                    levels.append(_sep_blur(lvl0, plan.absN_kernels[lvl]))
+                    dog_layers.append(levels[-1] - levels[-2])
+                elif use_pallas:
+                    b, d = blur_and_dog(levels[-1], plan.inc_kernels[lvl])
+                    levels.append(b)
+                    dog_layers.append(d)
+                else:
+                    levels.append(_sep_blur(levels[-1],
+                                            plan.inc_kernels[lvl]))
+                    dog_layers.append(levels[-1] - levels[-2])
         blurs.append(jnp.stack(levels))
         dogs.append(jnp.stack(dog_layers))
         prev_ds_level = levels[total - 3]

@@ -83,6 +83,24 @@ def _seg_sum(values, idx, num):
     return jax.ops.segment_sum(values, idx, num_segments=num)
 
 
+def _inv33(H):
+    """Batched SPD 3x3 inverse via adjugate."""
+    a00, a01, a02 = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    a11, a12, a22 = H[..., 1, 1], H[..., 1, 2], H[..., 2, 2]
+    det0 = a11 * a22 - a12 * a12
+    det1 = a12 * a02 - a01 * a22
+    det2 = a01 * a12 - a11 * a02
+    det3 = a00 * a22 - a02 * a02
+    det4 = a01 * a02 - a00 * a12
+    det5 = a00 * a11 - a01 * a01
+    det = a00 * det0 + a01 * det1 + a02 * det2
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    return jnp.stack([
+        jnp.stack([det0, det1, det2], -1),
+        jnp.stack([det1, det3, det4], -1),
+        jnp.stack([det2, det4, det5], -1)], -2) / det[..., None, None]
+
+
 def _solve33(H, b):
     """Batched SPD 3x3 solve via adjugate (same shape as s_solve.h)."""
     a00, a01, a02 = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
@@ -155,6 +173,94 @@ def _precond(ops: _SchurOps, r):
                             r[..., None])[..., 0]
 
 
+def schur_dense_step(p: BAProblem, lam, psum_axis=None):
+    """One damped Gauss-Newton step via an EXPLICIT dense reduced camera
+    system — the MXU formulation of the Schur complement.
+
+    The matrix-free CG step (:func:`schur_cg_step`) spends ~all its time
+    in per-CG-iteration gathers/segment-sums over the observation list
+    (scatter-bound on TPU: 3 segment sums + 2 row gathers per iteration).
+    Here the per-observation work happens ONCE: the camera-point coupling
+    blocks are aggregated into a dense U [Np, Nc, 6, 3] with a single
+    combined-index segment sum, and the Schur correction
+
+        B = U Hpp^-1 U^T            (a (6Nc, 3Np) x (3Np, 6Nc) matmul)
+
+    runs on the MXU. The reduced system S = Hcc + lam I - B (6Nc x 6Nc)
+    is then solved directly by Cholesky — exact, no CG tolerance.
+    Feasible whenever the dense U fits (Np*Nc*72 bytes; ~288 MB for the
+    100-cam/40k-point benchmark problem) — ``bundle_adjust`` picks this
+    path automatically and falls back to CG otherwise.
+
+    With ``psum_axis`` (observations point-sharded over a mesh), Hcc, S
+    and the camera gradient are psum'd once per step — one [6Nc, 6Nc]
+    collective instead of two [6Nc] psums per CG iteration.
+    """
+    Nc = p.cams.shape[0]
+    Np = p.points.shape[0]
+    r = residuals(p)
+    cost = jnp.sum(r * r)
+    if psum_axis is not None:
+        cost = jax.lax.psum(cost, psum_axis)
+    Jc, Jp = _jacobians(p)
+
+    Hpp = _seg_sum(jnp.einsum("oki,okj->oij", Jp, Jp), p.obs_pt, Np)
+    Hcc = _seg_sum(jnp.einsum("oki,okj->oij", Jc, Jc), p.obs_cam, Nc)
+    if psum_axis is not None:
+        Hcc = jax.lax.psum(Hcc, psum_axis)
+    Hpp = Hpp + lam * jnp.eye(3, dtype=Jp.dtype)[None]
+    Hpp_inv = _inv33(Hpp)                               # [Np, 3, 3]
+
+    # dense camera-point coupling via ONE combined-index segment sum
+    W = jnp.einsum("oki,okj->oij", Jc, Jp)              # [No, 6, 3]
+    comb = p.obs_pt.astype(jnp.int32) * Nc + p.obs_cam.astype(jnp.int32)
+    U = _seg_sum(W.reshape(-1, 18), comb, Np * Nc)
+    U = U.reshape(Np, Nc, 6, 3)
+
+    A = jnp.einsum("pcik,pkl->pcil", U, Hpp_inv)        # U Hpp^-1
+    # B[(c,i),(d,j)] = sum_{p,k} A[p,c,i,k] U[p,d,j,k] as one MXU matmul
+    A2 = jnp.transpose(A, (1, 2, 0, 3)).reshape(Nc * 6, Np * 3)
+    U2 = jnp.transpose(U, (1, 2, 0, 3)).reshape(Nc * 6, Np * 3)
+    B = jax.lax.dot_general(
+        A2, U2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)            # [6Nc, 6Nc]
+
+    g_c = _seg_sum(jnp.einsum("oki,ok->oi", Jc, r), p.obs_cam, Nc)
+    if psum_axis is not None:
+        g_c = jax.lax.psum(g_c, psum_axis)
+    g_p = _seg_sum(jnp.einsum("oki,ok->oi", Jp, r), p.obs_pt, Np)
+    corr = jnp.einsum("pcik,pk->ci", A, g_p)            # U Hpp^-1 g_p
+    if psum_axis is not None:
+        # one [6Nc, 6Nc] + one [Nc, 6] collective per GN step
+        B = jax.lax.psum(B, psum_axis)
+        corr = jax.lax.psum(corr, psum_axis)
+    rhs = -(g_c - corr)                                 # [Nc, 6]
+
+    S = -B
+    eye = jnp.eye(Nc * 6, dtype=B.dtype)
+    blockdiag = jnp.zeros((Nc, 6, Nc, 6), B.dtype)
+    idx = jnp.arange(Nc)
+    blockdiag = blockdiag.at[idx, :, idx, :].set(Hcc)
+    S = S + blockdiag.reshape(Nc * 6, Nc * 6) + lam * eye
+
+    # symmetric Jacobi scaling before the LU solve: S is PSD only up to
+    # f32 roundoff (entries span ~1e7 : lam), and an unscaled
+    # factorization can go singular
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    Ss = S * d[:, None] * d[None, :]
+    y = jnp.linalg.solve(Ss, rhs.reshape(-1) * d)
+    x = y * d
+    dc = x.reshape(Nc, 6)
+    dc = jnp.where(p.cam_fixed[:, None], 0.0, dc)
+
+    # back-substitute point updates: dp = Hpp^-1 (-g_p - Hpc dc)
+    Jdc = jnp.einsum("oki,oi->ok", Jc, dc[p.obs_cam])
+    hpc = _seg_sum(jnp.einsum("oki,ok->oi", Jp, Jdc), p.obs_pt, Np)
+    dp = _solve33(Hpp, -g_p - hpc)
+    return dc, dp, cost
+
+
 def schur_cg_step(p: BAProblem, lam, cg_iters: int = 25, psum_axis=None):
     """One damped Gauss-Newton step. Returns (d_cams, d_points, cost)."""
     r = residuals(p)
@@ -186,14 +292,19 @@ def schur_cg_step(p: BAProblem, lam, cg_iters: int = 25, psum_axis=None):
     def body(_, state):
         x, res, d, rz = state
         Sd = _apply_S(ops, d, psum_axis)
-        alpha = rz / jnp.maximum(jnp.sum(d * Sd), 1e-20)
+        denom = jnp.sum(d * Sd)
+        # f32 roundoff can make S indefinite near convergence: a
+        # non-positive curvature direction would blow alpha up to inf
+        # and poison the whole step with NaN — freeze instead
+        live = denom > 1e-20
+        alpha = jnp.where(live, rz / jnp.where(live, denom, 1.0), 0.0)
         x = x + alpha * d
         res = res - alpha * Sd
         z = _precond(ops, res)
         rz_new = jnp.sum(res * z)
-        beta = rz_new / jnp.maximum(rz, 1e-20)
+        beta = jnp.where(live, rz_new / jnp.maximum(rz, 1e-20), 0.0)
         d = z + beta * d
-        return x, res, d, rz_new
+        return x, res, d, jnp.where(live, rz_new, rz)
 
     x, res, d, rz = jax.lax.fori_loop(0, cg_iters, body, (x, res, d, rz))
     dc = jnp.where(p.cam_fixed[:, None], 0.0, x)
@@ -205,26 +316,42 @@ def schur_cg_step(p: BAProblem, lam, cg_iters: int = 25, psum_axis=None):
     return dc, dp, cost
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def dense_schur_feasible(n_cams: int, n_points: int,
+                         budget_bytes: int = 1 << 31) -> bool:
+    """Whether the explicit dense-U Schur path fits the memory budget."""
+    return n_cams * 6 <= 4096 and n_points * n_cams * 72 <= budget_bytes
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "dense"))
 def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
-                  lam0: float = 1e-3):
+                  lam0: float = 1e-3, dense: bool | None = None):
     """Levenberg-Marquardt loop (jitted, fixed iteration count).
 
     Accept/reject with damping update: classic LM without host sync.
+    ``dense`` selects the MXU dense-Schur direct solve
+    (:func:`schur_dense_step`) over matrix-free CG; by default it is on
+    whenever the dense coupling matrix fits memory.
     """
+    if dense is None:
+        dense = dense_schur_feasible(int(p.cams.shape[0]),
+                                     int(p.points.shape[0]))
+
     def body(state, _):
         prob, lam = state
-        dc, dp, cost = schur_cg_step(prob, lam, cg_iters=cg_iters)
+        if dense:
+            dc, dp, cost = schur_dense_step(prob, lam)
+        else:
+            dc, dp, cost = schur_cg_step(prob, lam, cg_iters=cg_iters)
         new = prob._replace(cams=prob.cams + dc, points=prob.points + dp)
         new_r = residuals(new)
         new_cost = jnp.sum(new_r * new_r)
-        ok = new_cost < cost
+        ok = new_cost < cost           # NaN steps are rejected too
         # accept/reject: only cams/points change
         cams = jnp.where(ok, new.cams, prob.cams)
         points = jnp.where(ok, new.points, prob.points)
         prob = prob._replace(cams=cams, points=points)
         lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-        return (prob, lam), new_cost
+        return (prob, lam), jnp.where(ok, new_cost, cost)
 
     (prob, lam), costs = jax.lax.scan(
         body, (p, jnp.float32(lam0)), None, length=iters)

@@ -90,13 +90,18 @@ def partition_by_point(p: BAProblem, n_shards: int) -> BAProblem:
 
 def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
                            iters: int = 8, cg_iters: int = 20,
-                           lam0: float = 1e-3):
+                           lam0: float = 1e-3, dense: bool = False):
     """Build a jitted distributed LM-BA over the given mesh.
 
     Takes the sharded BAProblem layout from ``partition_by_point``
     (leading shard axis on points/observations) and returns the
-    optimized problem plus per-iteration costs.
+    optimized problem plus per-iteration costs. With ``dense`` the
+    reduced camera system is built locally per shard and psum'd once per
+    GN step ([6Nc, 6Nc]) instead of two [Nc, 6] psums per CG iteration —
+    fewer, fatter collectives, and an exact solve
+    (ba.py::schur_dense_step).
     """
+    from .ba import schur_dense_step
 
     def local(cams, points, intr, oc, op, uv, ov, fixed):
         prob = BAProblem(cams=cams, points=points, intr=intr,
@@ -105,17 +110,23 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
 
         def body(state, _):
             prob, lam = state
-            dc, dp, cost = schur_cg_step(prob, lam, cg_iters=cg_iters,
-                                         psum_axis=axis_name)
+            if dense:
+                dc, dp, cost = schur_dense_step(prob, lam,
+                                                psum_axis=axis_name)
+            else:
+                dc, dp, cost = schur_cg_step(prob, lam,
+                                             cg_iters=cg_iters,
+                                             psum_axis=axis_name)
             new = prob._replace(cams=prob.cams + dc,
                                 points=prob.points + dp)
             r = residuals(new)
             new_cost = jax.lax.psum(jnp.sum(r * r), axis_name)
-            ok = new_cost < cost
+            ok = new_cost < cost       # NaN steps are rejected too
             cams = jnp.where(ok, new.cams, prob.cams)
             points = jnp.where(ok, new.points, prob.points)
             lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-            return (prob._replace(cams=cams, points=points), lam), new_cost
+            return (prob._replace(cams=cams, points=points), lam), \
+                jnp.where(ok, new_cost, cost)
 
         (prob, _), costs = jax.lax.scan(
             body, (prob, jnp.float32(lam0)), None, length=iters)

@@ -72,9 +72,33 @@ def main():
     [np.asarray(o) for o in outs]
     dt = (time.perf_counter() - t0) / reps
     results.append({
-        "metric": "ba_gn_step_100c_40kp_200kobs",
+        "metric": "ba_gn_step_cg20_100c_40kp_200kobs",
         "value": round(dt * 1000, 2), "unit": "ms",
-        "obs_per_s": round(nobs / dt / 1e6, 2)})
+        "obs_per_s": round(nobs / dt / 1e6, 2),
+        "note": "matrix-free CG: scatter/gather-bound (3 segment sums "
+                "+ 2 row gathers per CG iteration)"})
+
+    # --- BA: dense-Schur direct step (MXU formulation) ----------------
+    from popsift_tpu.sfm.ba import schur_dense_step
+
+    dstep = jax.jit(lambda p: schur_dense_step(p, jnp.float32(1e-3))[2])
+    np.asarray(dstep(prob))
+    t0 = time.perf_counter()
+    outs = [dstep(prob._replace(points=prob.points + i * 1e-30))
+            for i in range(reps)]
+    [np.asarray(o) for o in outs]
+    dtd = (time.perf_counter() - t0) / reps
+    # dominant term: B = (U Hpp^-1)(6Nc x 3Np) @ U^T(3Np x 6Nc),
+    # f32 HIGHEST (6-pass bf16)
+    mm_flops = 2.0 * (6 * nc) ** 2 * (3 * npts)
+    results.append({
+        "metric": "ba_gn_step_dense_100c_40kp_200kobs",
+        "value": round(dtd * 1000, 2), "unit": "ms",
+        "obs_per_s": round(nobs / dtd / 1e6, 2),
+        "schur_matmul_gflop": round(mm_flops / 1e9, 1),
+        "speedup_vs_cg": round(dt / dtd, 2),
+        "note": "explicit dense reduced system on the MXU + direct "
+                "solve (exact step, no CG tolerance)"})
 
     for r in results:
         print(json.dumps(r))

@@ -27,26 +27,26 @@ sys.path.insert(0, "scripts")
 
 
 def measure_hbm_bw(mb=256, reps=16):
-    """Streaming triad bandwidth: y = a*x + y, 3 array passes per rep."""
+    """Streaming bandwidth: a chain of whole-array copies.
+
+    Elementwise chains fuse into ONE memory pass, so each rep includes a
+    ``jnp.roll`` — a genuine read+write copy XLA cannot fuse away — plus
+    a fused add (2 reads + 1 write per rep)."""
     n = mb * 2**20 // 4
     x = jnp.arange(n, dtype=jnp.float32) * 1e-9
     y = jnp.ones(n, jnp.float32)
 
-    @jax.jit
-    def f(x, y):
-        for i in range(reps):
-            y = y + x * np.float32(1.0 + 1e-9 * i)   # defeat CSE
+    def chain(x, y, k):
+        for i in range(k):
+            y = jnp.roll(y + x * np.float32(1.0 + 1e-9 * i), 1)
         return jnp.sum(y)
 
+    f = jax.jit(lambda x, y: chain(x, y, reps))
+    f1 = jax.jit(lambda x, y: chain(x, y, 1))
     np.asarray(f(x, y))
     t0 = time.perf_counter()
     np.asarray(f(x, y))
     dt1 = time.perf_counter() - t0
-
-    @jax.jit
-    def f1(x, y):
-        return jnp.sum(y + x)
-
     np.asarray(f1(x, y))
     t0 = time.perf_counter()
     np.asarray(f1(x, y))

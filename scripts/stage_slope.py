@@ -78,6 +78,12 @@ def main():
                                                      use_pallas=False)), imgs)
         print(f"pyramid: {s:.1f} ms/img  (B1={ts[1]:.0f} B4={ts[4]:.0f})")
         return
+    if which == "pyramid_chain":
+        s, ts = slope(lambda im: probe(build_pyramid(
+            im, plan.pyramid, use_pallas="chain")), imgs)
+        print(f"pyramid_chain: {s:.1f} ms/img  "
+              f"(B1={ts[1]:.0f} B4={ts[4]:.0f})")
+        return
 
     pyr = jax.jit(lambda xs: jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls),

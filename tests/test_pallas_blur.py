@@ -94,3 +94,32 @@ def test_polyphase_lvl0_matches_gather_path(rng):
     out = jnp.pad(out, ((pady, pady), (0, 0)), mode="edge")
     slow = np.asarray(_conv1d_valid(out, ky, axis=0))
     np.testing.assert_allclose(fast, slow, atol=2e-3)
+
+
+def test_octave_chain_matches_sep_blur_chain(rng):
+    """Fused whole-octave chain kernel (interpret mode) vs the XLA
+    incremental _sep_blur chain, including edge replication."""
+    from popsift_tpu.config import SiftConfig
+    from popsift_tpu.gauss import build_gauss_tables, full_kernel
+    from popsift_tpu.ops.pallas.blur import octave_blur_chain
+    from popsift_tpu.ops.pyramid import _sep_blur
+
+    cfg = SiftConfig()
+    tables = build_gauss_tables(cfg)
+    kernels = [full_kernel(tables.inc[l], int(tables.inc_span[l]))
+               for l in range(1, cfg.total_levels)]
+    H, W = 75, 131
+    lvl0 = rng.normal(96, 40, size=(H, W)).astype(np.float32)
+
+    blurs, dogs = octave_blur_chain(jnp.asarray(lvl0), kernels,
+                                    interpret=True)
+    prev = jnp.asarray(lvl0)
+    for l, k in enumerate(kernels):
+        want = _sep_blur(prev, k)
+        np.testing.assert_allclose(np.asarray(blurs[l]),
+                                   np.asarray(want), atol=1e-3,
+                                   err_msg=f"level {l + 1}")
+        np.testing.assert_allclose(np.asarray(dogs[l]),
+                                   np.asarray(want - prev), atol=1e-3,
+                                   err_msg=f"dog {l}")
+        prev = want

@@ -55,3 +55,56 @@ def test_distributed_ba_matches_single_device():
     # costs should track each other closely
     np.testing.assert_allclose(np.asarray(costs_d)[-1],
                                np.asarray(costs_s)[-1], rtol=0.2)
+
+
+def test_dense_schur_matches_cg():
+    """The MXU dense-Schur direct step must agree with matrix-free CG at
+    the LM level, and the distributed dense path (one psum'd [6Nc,6Nc]
+    per step) must match the single-device dense path."""
+    import jax.numpy as jnp
+    from popsift_tpu.sfm.ba import BAProblem, bundle_adjust, project
+
+    rng = np.random.default_rng(3)
+    nc, npts = 8, 160
+    X = rng.uniform([-2, -2, 4], [2, 2, 8], (npts, 3)).astype(np.float32)
+    intr = jnp.asarray([500.0, 500.0, 320.0, 240.0], jnp.float32)
+    obs_c, obs_p, obs_uv, cams = [], [], [], []
+    for i in range(nc):
+        w = np.concatenate([rng.normal(0, 0.02, 3),
+                            [0.3 * i, 0, 0]]).astype(np.float32)
+        cams.append(w)
+        for j in range(npts):
+            if rng.random() < 0.6:
+                uv = np.asarray(project(jnp.asarray(w), jnp.asarray(X[j]),
+                                        intr))
+                obs_c.append(i)
+                obs_p.append(j)
+                obs_uv.append(uv + rng.normal(0, 0.5, 2))
+    prob = BAProblem(
+        cams=jnp.asarray(np.stack(cams)),
+        points=jnp.asarray(X + rng.normal(0, 0.05, X.shape)
+                           .astype(np.float32)),
+        intr=intr,
+        obs_cam=jnp.asarray(np.array(obs_c, np.int32)),
+        obs_pt=jnp.asarray(np.array(obs_p, np.int32)),
+        obs_uv=jnp.asarray(np.stack(obs_uv).astype(np.float32)),
+        obs_valid=jnp.ones(len(obs_c), bool),
+        cam_fixed=jnp.asarray([True] + [False] * (nc - 1)))
+
+    out_cg, costs_cg = bundle_adjust(prob, iters=6, cg_iters=60,
+                                     dense=False)
+    out_d, costs_d = bundle_adjust(prob, iters=6, dense=True)
+    assert float(costs_d[-1]) <= float(costs_d[0])
+    rel = abs(float(costs_d[-1]) - float(costs_cg[-1])) / \
+        max(float(costs_cg[-1]), 1e-9)
+    assert rel < 0.01, (float(costs_d[-1]), float(costs_cg[-1]))
+
+    from popsift_tpu.parallel.mesh import make_mesh
+    from popsift_tpu.sfm.distributed import (
+        make_distributed_ba_fn, partition_by_point)
+    mesh = make_mesh(8, axis_name="sp")
+    sh, _ = partition_by_point(prob, 8)
+    ba = make_distributed_ba_fn(mesh, axis_name="sp", iters=6, dense=True)
+    _, costs_dist = ba(sh)
+    np.testing.assert_allclose(float(costs_dist[-1]), float(costs_d[-1]),
+                               rtol=1e-3)

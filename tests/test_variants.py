@@ -327,3 +327,24 @@ def test_calibrate_plan(small_image):
     assert all(c >= 256 for c in plan.ext_caps)
     out = extract(jnp.asarray(small_image), plan)
     assert int(out.n_keypoints) > 0
+
+
+def test_grid_filter_random_mode_counts():
+    """'random' keep-ORDER is a documented deliberate deviation (hash
+    order vs Thrust shuffle, sift_conf.h:72-76 calls random unstable);
+    the per-cell KEPT COUNTS must still match the redistribution
+    algorithm exactly."""
+    rng = np.random.default_rng(13)
+    counts = [200, 40, 30, 10]
+    cells = np.concatenate([np.full(c, i) for i, c in enumerate(counts)])
+    sigmas = rng.uniform(1.0, 8.0, cells.shape[0]).astype(np.float32)
+    valid = np.ones(cells.shape[0], bool)
+    budget = 150
+    cfg = SiftConfig(filter_max_extrema=budget, filter_grid_size=2,
+                     grid_filter_mode="random")
+    keep = np.asarray(grid_filter_mask(
+        jnp.asarray(cells, jnp.int32), jnp.asarray(sigmas),
+        jnp.asarray(valid), cfg))
+    want = _ref_gridfilter_numpy(cells, sigmas, valid, budget, 4)
+    for c in range(4):
+        assert keep[cells == c].sum() == want[cells == c].sum(), c
