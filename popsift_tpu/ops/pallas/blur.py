@@ -232,7 +232,11 @@ def _octave_chain_kernel(x_hbm, *refs, taps_per_level, Scum, Vcum, Wo,
         cur = jnp.where(g_col < 0, left, cur)
         cur = jnp.where(g_col > W - 1, right, cur)
         top = cur[Vcum:Vcum + 1, :]
-        bot = jax.lax.dynamic_slice_in_dim(cur, bot_local, 1, axis=0)
+        # bottom row lives at a grid-step-dependent offset; Mosaic has
+        # no dynamic_slice, so read it with a one-hot row reduction
+        bot_mask = (jax.lax.broadcasted_iota(jnp.int32, (Ht, 1), 0)
+                    == bot_local).astype(cur.dtype)
+        bot = jnp.sum(cur * bot_mask, axis=0, keepdims=True)
         cur = jnp.where(g_row < 0, top, cur)
         cur = jnp.where(g_row > H - 1, bot, cur)
         return cur
@@ -296,7 +300,15 @@ def octave_blur_chain(lvl0: jnp.ndarray, kernels, interpret: bool = False):
     lvl0: f32[H, W]; kernels: list of full symmetric 1-D filters for
     levels 1..L-1. Returns (blurs, dogs): lists of f32[H, W], where
     blurs[l-1] is level l and dogs[l-1] = blur_l - blur_{l-1}, all with
-    edge-replicated borders — numerically the `_sep_blur` chain.
+    edge-replicated borders — numerically the `_sep_blur` chain
+    (interpret-mode parity test in tests/test_pallas_blur.py).
+
+    STATUS: experimental opt-in (build_pyramid(use_pallas="chain")).
+    Measured round 2: Mosaic compilation of the 5-level fused kernel at
+    1080p exceeded 25 minutes on the tunneled v5e (the per-level
+    ``blur_and_dog`` kernel compiles in seconds) — the concatenate-based
+    in-tile padding x 5 unrolled levels blows up the Mosaic pipeline, so
+    the XLA shift-add chain remains the production path.
     """
     H, W = lvl0.shape
     Ss = [(k.shape[0] - 1) // 2 for k in kernels]

@@ -61,7 +61,9 @@ def _jobs_from_lists(xs, ys, sigmas, lvls, angs, cap):
 
 
 def test_descriptors_match_oracle(small_image):
-    cfg = SiftConfig(octaves=2, desc_mode="grid")
+    # the 40x40 formulation is the reference's igrid/notile; the name
+    # "grid" now maps to the rounded-address variant (round 2)
+    cfg = SiftConfig(octaves=2, desc_mode="igrid")
     per_octave = _collect_jobs(small_image, cfg)
     assert per_octave
     checked = 0

@@ -21,7 +21,7 @@ def _pack(exts, cap):
         x=z.copy(), y=z.copy(), s=z.copy(), level=zi.copy(),
         sigma=z.copy(), cell=zi.copy(),
         valid=np.zeros(cap, bool), count=np.int32(n),
-        n_candidates=np.int32(n))
+        n_candidates=np.int32(n), n_dropped=np.int32(0))
     for i, e in enumerate(exts[:cap]):
         ext.x[i] = e.x
         ext.y[i] = e.y

@@ -104,7 +104,8 @@ def test_orientation_hist_pallas_matches_xla(rng):
         cell=jnp.zeros(K, jnp.int32),
         valid=jnp.asarray(valid),
         count=jnp.int32(K - 2),
-        n_candidates=jnp.int32(K))
+        n_candidates=jnp.int32(K),
+        n_dropped=jnp.int32(0))
 
     R = max_ori_radius(cfg)
     want = np.array(_orientation_hist_xla(blur, ext, cfg, R))
