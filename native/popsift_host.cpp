@@ -25,6 +25,7 @@
 
 #include <atomic>
 #include <cctype>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -439,8 +440,46 @@ void ps_pipeline_destroy(void* pl_) {
 }
 
 // ---------------------------------------------------------------------------
+// Feature text serialization (Feature::print, features.cu:308-328):
+// one line per descriptor, "x y 1/s^2 0 1/s^2  d0..d127", optionally
+// rounding descriptor components to integers (write_as_uchar).
+// The Python per-feature loop costs ~10 us/descriptor; this streams a
+// 100k-descriptor set in tens of milliseconds.
+// ---------------------------------------------------------------------------
+int ps_features_write(const char* path,
+                      uint64_t n_desc,
+                      const float* x,          // [n_desc] per-descriptor
+                      const float* y,
+                      const float* sigma,
+                      const float* desc,       // [n_desc * 128]
+                      int write_as_uchar) {
+    if (!path || (!x && n_desc) || (!desc && n_desc)) return PS_ERR_ARG;
+    FILE* f = fopen(path, "w");
+    if (!f) return PS_ERR_IO;
+    std::vector<char> buf(1 << 20);
+    setvbuf(f, buf.data(), _IOFBF, buf.size());
+    for (uint64_t i = 0; i < n_desc; i++) {
+        double s = (double)sigma[i];
+        double sv = (s != 0.0) ? 1.0 / (s * s) : 0.0;
+        fprintf(f, "%g %g %g 0 %g ", (double)x[i], (double)y[i], sv, sv);
+        const float* d = desc + i * 128;
+        if (write_as_uchar) {
+            for (int k = 0; k < 128; k++)
+                fprintf(f, "%d ", (int)lrintf(d[k]));
+        } else {
+            for (int k = 0; k < 128; k++)
+                fprintf(f, "%.3g ", (double)d[k]);
+        }
+        fputc('\n', f);
+    }
+    int rc = ferror(f) ? PS_ERR_IO : PS_OK;
+    fclose(f);
+    return rc;
+}
+
+// ---------------------------------------------------------------------------
 // version tag
 // ---------------------------------------------------------------------------
-const char* ps_runtime_version() { return "popsift-tpu-host-runtime 1.0"; }
+const char* ps_runtime_version() { return "popsift-tpu-host-runtime 1.1"; }
 
 }  // extern "C"

@@ -61,6 +61,10 @@ _lib.ps_pipeline_jobs_done.argtypes = [C.c_void_p]
 _lib.ps_pipeline_destroy.restype = None
 _lib.ps_pipeline_destroy.argtypes = [C.c_void_p]
 _lib.ps_runtime_version.restype = C.c_char_p
+_lib.ps_features_write.restype = C.c_int
+_lib.ps_features_write.argtypes = [
+    C.c_char_p, C.c_uint64, C.POINTER(C.c_float), C.POINTER(C.c_float),
+    C.POINTER(C.c_float), C.POINTER(C.c_float), C.c_int]
 
 _STATUS = {0: "ok", 1: "io error", 2: "format error", 3: "bad argument",
            4: "bad state"}
@@ -90,6 +94,31 @@ def decode_pnm(data: bytes) -> np.ndarray:
 def read_pnm(path: str) -> np.ndarray:
     with open(path, "rb") as fh:
         return decode_pnm(fh.read())
+
+
+def write_features(path: str, x: np.ndarray, y: np.ndarray,
+                   sigma: np.ndarray, desc: np.ndarray,
+                   write_as_uchar: bool = False) -> None:
+    """Stream the reference feature text format (one line per
+    descriptor, Feature::print, features.cu:308-328) from flat
+    per-descriptor arrays. ~100x faster than the per-feature Python
+    loop for big feature sets; uses C %g (6 significant digits), the
+    same formatting as the reference's ostream<<float."""
+    n = int(desc.shape[0])
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    sigma = np.ascontiguousarray(sigma, np.float32)
+    desc = np.ascontiguousarray(desc, np.float32)
+    if x.shape[0] != n or y.shape[0] != n or sigma.shape[0] != n \
+            or desc.shape[1] != 128:
+        raise ValueError("write_features expects per-descriptor arrays")
+    fp = C.POINTER(C.c_float)
+    rc = _lib.ps_features_write(
+        path.encode(), n, x.ctypes.data_as(fp), y.ctypes.data_as(fp),
+        sigma.ctypes.data_as(fp), desc.ctypes.data_as(fp),
+        1 if write_as_uchar else 0)
+    if rc != 0:
+        raise IOError(f"feature write failed: {_STATUS.get(rc, rc)}")
 
 
 def write_pgm(path: str, img: np.ndarray) -> None:

@@ -121,3 +121,31 @@ def test_load_image_uses_native(tmp_path, rng):
     p = str(tmp_path / "x.pgm")
     pyio.write_pgm(p, img)
     np.testing.assert_array_equal(pyio.load_image(p), img)
+
+
+def test_native_feature_writer(tmp_path):
+    """Native streaming writer vs the Python per-feature formatter."""
+    pytest.importorskip("popsift_tpu.runtime.native")
+    import io
+    from popsift_tpu.api import PopSift
+    from popsift_tpu.config import SiftConfig
+    from conftest import synthetic_image
+
+    img = synthetic_image(64, 80, seed=3)
+    host = PopSift(SiftConfig(octaves=2, extrema_capacity=128)) \
+        .enqueue(img).get()
+    out = str(tmp_path / "f.txt")
+    host.save(out)
+    buf = io.StringIO()
+    host.print(buf)
+    nat = open(out).read().strip().splitlines()
+    py = buf.getvalue().strip().splitlines()
+    assert len(nat) == len(py) == host.getDescriptorCount()
+    for a, b in zip(nat, py):
+        fa = [float(t) for t in a.split()]
+        fb = [float(t) for t in b.split()]
+        assert len(fa) == len(fb) == 133
+        # native uses %g (6 sig digits, like the reference ostream);
+        # python uses repr — compare within formatting tolerance
+        for va, vb in zip(fa, fb):
+            assert abs(va - vb) <= 1e-3 * max(1.0, abs(vb))
