@@ -137,7 +137,8 @@ def shardable_octaves(plan, n: int, min_band: int) -> int:
 def make_sharded_extract_fn(cfg: SiftConfig, height: int, width: int,
                             mesh: Mesh, axis_name: str = "sp",
                             octave_caps: tuple | None = None,
-                            desc_chunk: int = 1024):
+                            desc_chunk: int = 1024,
+                            _as_local: bool = False):
     """Jitted fn: uint8[H, W] (row-sharded over ``mesh``) -> SiftFeatures
     (replicated), numerically matching the single-device ``extract``.
 
@@ -435,7 +436,46 @@ def make_sharded_extract_fn(cfg: SiftConfig, height: int, width: int,
         """Translate detected global rows into the halo'd band frame."""
         return y_glob - goffb.astype(jnp.float32)
 
+    if _as_local:
+        # composition hook (make_batched_sharded_extract_fn): the
+        # per-band local function, to be embedded in a larger shard_map
+        # whose ``axis_name`` axis carries the row sharding
+        return local_fn, eff_ext_caps
+
     mapped = shard_map(local_fn, mesh=mesh,
                        in_specs=(P(axis_name, None),),
                        out_specs=P(), check_vma=False)
     return jax.jit(mapped), eff_ext_caps
+
+
+def make_batched_sharded_extract_fn(cfg: SiftConfig, height: int,
+                                    width: int, mesh: Mesh,
+                                    dp_axis: str = "dp",
+                                    sp_axis: str = "sp",
+                                    octave_caps: tuple | None = None,
+                                    desc_chunk: int = 1024):
+    """DP x SP composition: a batch of LARGE frames, each row-sharded.
+
+    mesh must have axes (dp_axis, sp_axis); input uint8[B, H, W] is
+    sharded P(dp, sp, None): each dp group holds B/dp frames whose rows
+    span its sp sub-axis. Halo exchange and feature gathers ride the
+    sp axis only; frames in a dp group run back-to-back via lax.scan
+    (the same batching mode as make_batched_extract_fn). Returns
+    (fn, eff_caps); outputs are SiftFeatures with a leading batch axis,
+    sharded over dp and replicated over sp.
+    """
+    n_dp = mesh.shape[dp_axis]
+    local_fn, eff_caps = make_sharded_extract_fn(
+        cfg, height, width, mesh, axis_name=sp_axis,
+        octave_caps=octave_caps, desc_chunk=desc_chunk, _as_local=True)
+
+    def group_fn(imgs):                    # [B/dp, H/sp, W]
+        def body(_, band):
+            return 0, local_fn(band)
+        _, feats = jax.lax.scan(body, 0, imgs)
+        return feats
+
+    mapped = shard_map(group_fn, mesh=mesh,
+                       in_specs=(P(dp_axis, sp_axis, None),),
+                       out_specs=P(dp_axis), check_vma=False)
+    return jax.jit(mapped), eff_caps

@@ -60,17 +60,21 @@ def main():
     cfg = SiftConfig(octaves=2, extrema_capacity=64)
     plan = build_extract_plan(cfg, h, w)
 
-    def make_frame(seed):
+    def make_frame_sized(fh, fw, seed):
         rng = np.random.default_rng(seed)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        yy, xx = np.mgrid[0:fh, 0:fw].astype(np.float64)
         img = 96.0 + 40.0 * np.sin(xx / 9.0) * np.cos(yy / 11.0)
         for _ in range(8):
-            cx, cy = rng.uniform(0.1, 0.9) * w, rng.uniform(0.1, 0.9) * h
+            cx = rng.uniform(0.1, 0.9) * fw
+            cy = rng.uniform(0.1, 0.9) * fh
             s = rng.uniform(1.5, 6.0)
             img += (rng.uniform(50, 140) * rng.choice([-1.0, 1.0])
                     * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
                              / (2 * s * s)))
         return np.clip(img, 0, 255).astype(np.uint8)
+
+    def make_frame(seed):
+        return make_frame_sized(h, w, seed)
 
     # global batch: one frame per process; build the global array from
     # per-process local shards (the multi-host ingestion path)
@@ -95,6 +99,27 @@ def main():
                            out_specs=(P(), P("dp"), P()),
                            check_vma=False))
     total_kp, nbr, allsum = fn(batch)
+
+    # --- spatially-sharded extraction ACROSS processes -----------------
+    # the halo-exchange ppermutes and feature all_gathers cross the
+    # process boundary here — the DCN analog of the ICI path the
+    # virtual-mesh tests exercise
+    from popsift_tpu.parallel.spatial import make_sharded_extract_fn
+
+    sp_mesh = Mesh(np.array(jax.devices()), ("sp",))
+    hs, ws = 56 * nprocs, 64          # band >= the keypoint halo
+    cfg_sp = SiftConfig(octaves=2, extrema_capacity=64)
+    se_fn, _ = make_sharded_extract_fn(cfg_sp, hs, ws, sp_mesh)
+    frame = make_frame_sized(hs, ws, seed=7)
+    local_rows = frame[pid * (hs // nprocs):(pid + 1) * (hs // nprocs)]
+    sp_sharding = NamedSharding(sp_mesh, P("sp", None))
+    frame_g = jax.make_array_from_process_local_data(sp_sharding,
+                                                     local_rows,
+                                                     (hs, ws))
+    sp_out = se_fn(frame_g)
+    sp_kp = int(sp_out.n_keypoints)
+    sp_sum = round(float(np.asarray(
+        jnp.sum(sp_out.desc))), 3)
 
     # --- distributed BA step across processes --------------------------
     from popsift_tpu.sfm.ba import BAProblem
@@ -121,7 +146,7 @@ def main():
     out_prob, costs = ba(sharded)
     final_cost = float(np.asarray(costs)[-1])
 
-    checksum = (int(total_kp), round(float(allsum), 3),
+    checksum = (int(total_kp), round(float(allsum), 3), sp_kp, sp_sum,
                 round(final_cost, 4))
     print(f"RESULT {checksum}", flush=True)
     jax.distributed.shutdown()

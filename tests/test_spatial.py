@@ -124,3 +124,40 @@ def test_sharded_extract_rejects_unsupported():
                                 224, 160, mesh)
     with pytest.raises(ValueError):
         make_sharded_extract_fn(SiftConfig(), 225, 160, mesh)
+
+
+@pytest.mark.distributed
+@pytest.mark.slow
+def test_batched_sharded_extract_2d_mesh():
+    """DP x SP composition: 2 frames over a (2 dp, 2 sp) mesh must match
+    per-frame single-device extraction."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from conftest import synthetic_image
+    from popsift_tpu.parallel.spatial import make_batched_sharded_extract_fn
+    from popsift_tpu.pipeline import build_extract_plan, extract
+
+    H, W = 224, 160
+    imgs = np.stack([synthetic_image(H, W, seed=20 + i) for i in range(2)])
+    cfg = SiftConfig(octaves=4, extrema_capacity=512)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = jax.sharding.Mesh(devs, ("dp", "sp"))
+    fn, eff_caps = make_batched_sharded_extract_fn(cfg, H, W, mesh)
+    out = fn(jnp.asarray(imgs))
+
+    plan = build_extract_plan(cfg, H, W, octave_caps=eff_caps)
+    for b in range(2):
+        ref = extract(jnp.asarray(imgs[b]), plan)
+        got_n = int(np.asarray(out.n_keypoints)[b])
+        assert got_n == int(ref.n_keypoints) > 10, b
+        vs = np.asarray(out.valid[b])
+        vp = np.asarray(ref.valid)
+        ks = np.sort(np.asarray(out.x[b])[vs])
+        kp = np.sort(np.asarray(ref.x)[vp])
+        np.testing.assert_allclose(ks, kp, atol=2e-4)
+        ds = np.sort(np.asarray(out.desc[b])[np.asarray(out.desc_valid[b])],
+                     axis=0)
+        dp_ = np.sort(np.asarray(ref.desc)[np.asarray(ref.desc_valid)],
+                      axis=0)
+        np.testing.assert_allclose(ds, dp_, atol=5e-3)
