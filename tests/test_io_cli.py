@@ -61,3 +61,28 @@ def test_demo_cli(tmp_path, small_image):
     assert "Number of features:" in r.stdout
     lines = open(out_path).read().strip().splitlines()
     assert lines and len(lines[0].split()) == 133
+
+
+def test_compare_features_tool(tmp_path, small_image):
+    """The parity-comparison tool round-trips our own output at 100%."""
+    import json
+    import subprocess
+    import sys
+
+    from popsift_tpu.api import PopSift
+    from popsift_tpu.config import SiftConfig
+
+    host = PopSift(SiftConfig(octaves=2, extrema_capacity=128)) \
+        .enqueue(small_image).get()
+    f1 = str(tmp_path / "a.txt")
+    host.save(f1)
+
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "oxford"))
+    from compare_features import compare, load_feature_file
+    xy, sigma, desc = load_feature_file(f1)
+    assert desc.shape == (host.getDescriptorCount(), 128)
+    r = compare(f1, f1, eps=0.5)
+    assert r["parity_pct"] == 100.0
+    assert r["mean_rel_desc_dist"] == 0.0
