@@ -47,6 +47,11 @@ def golden_cases():
             synthetic_image(64, 80, seed=3),
             SiftConfig(octaves=3, gauss_mode="fixed9", desc_mode="grid"),
             "grid"),
+        # iloop descriptor variant + interpolated octave downscale
+        "scene64_iloop_interp": (
+            synthetic_image(64, 80, seed=3),
+            SiftConfig(octaves=3, desc_mode="iloop",
+                       downscale_mode="interpolate"), "iloop"),
     }
 
 
@@ -68,8 +73,11 @@ def flatten(feats):
 def main():
     from popsift_tpu.oracle import oracle_extract
 
+    only = set(sys.argv[1:])     # regenerate a subset: make_golden.py NAME..
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, (img, cfg, variant) in golden_cases().items():
+        if only and name not in only:
+            continue
         print(f"generating {name} ...", flush=True)
         feats = oracle_extract(img, cfg, desc_variant=variant)
         arrs = flatten(feats)
