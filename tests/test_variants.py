@@ -350,3 +350,26 @@ def test_grid_filter_random_mode_counts():
     want = _ref_gridfilter_numpy(cells, sigmas, valid, budget, 4)
     for c in range(4):
         assert keep[cells == c].sum() == want[cells == c].sum(), c
+
+
+def test_interpolated_downscale_odd_dims():
+    """Odd-sized sources need the edge clamp in _decimate2_interpolate
+    (texel 2i+1 can exceed the source)."""
+    from popsift_tpu.ops.pyramid import _decimate2_interpolate
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(33, 41)).astype(np.float32)
+    oh, ow = 17, 21
+    got = np.asarray(_decimate2_interpolate(jnp.asarray(x), oh, ow))
+    yi = np.minimum(2 * np.arange(oh) + 1, 32)
+    xi = np.minimum(2 * np.arange(ow) + 1, 40)
+    want = x[np.ix_(yi, xi)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_popsift_calibrate_api(small_image):
+    from popsift_tpu.api import PopSift
+    ps = PopSift(SiftConfig(octaves=3))
+    plan = ps.calibrate([small_image])
+    assert all(c >= 256 for c in plan.ext_caps)
+    feats = ps.enqueue(small_image).get()     # uses the calibrated plan
+    assert feats.getFeatureCount() > 0
