@@ -161,12 +161,20 @@ class FeaturesDev:
 
 
 class SiftJob:
-    """Future-based extraction handle (SiftJob, popsift.h:40-71)."""
+    """Future-based extraction handle (SiftJob, popsift.h:40-71).
 
-    def __init__(self, raw: SiftFeatures, plan: ExtractPlan | None = None):
+    ``mode`` mirrors the owning pipeline's ProcessingMode
+    (sift_conf.h:87-90): in matching mode ``get`` resolves to the
+    device-resident :class:`FeaturesDev` (the reference's
+    matchPrepareLoop produces FeaturesDev, popsift.cpp:215-236) and no
+    host transfer happens unless ``getHost`` is called explicitly."""
+
+    def __init__(self, raw: SiftFeatures, plan: ExtractPlan | None = None,
+                 mode: str = "extracting"):
         self._raw = raw   # async: dispatch already happened
         self._host = None
         self._plan = plan
+        self._mode = mode
         self._warned = False
 
     def _check_saturation(self):
@@ -181,7 +189,13 @@ class SiftJob:
         for msg in saturation_report(self._raw, self._plan):
             _warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
-    def get(self) -> FeaturesHost:
+    def get(self):
+        """Blocking result fetch: FeaturesHost in extracting mode,
+        FeaturesDev in matching mode (SiftJob::get returns the
+        mode-appropriate FeaturesBase, popsift.cpp:300-318)."""
+        if self._mode == "matching":
+            jax.block_until_ready(self._raw)
+            return self.getDev()
         return self.getHost()
 
     def getHost(self) -> FeaturesHost:
@@ -255,8 +269,30 @@ class PopSift:
                 "enqueue expects a uint8 or float32 grayscale image")
         h, w = image.shape
         plan, fn = self._fn_for(h, w)
-        return SiftJob(fn(image), plan)
+        return SiftJob(fn(image), plan, mode=self._mode)
 
     def uninit(self):
         with self._lock:
             self._plans.clear()
+
+    # ------------------------------------------------------------------
+    # Deprecated blocking API (PopSift::init/execute, popsift.h:122-139):
+    # the reference keeps these shims for pre-job-pipeline callers.
+
+    def init(self, w: int, h: int) -> bool:
+        """Deprecated: pre-plan for a w x h image (popsift.h:122-131).
+        The job API plans lazily on first enqueue; this just warms the
+        plan cache for the given size."""
+        import warnings as _warnings
+        _warnings.warn("PopSift.init is deprecated; use enqueue()",
+                       DeprecationWarning, stacklevel=2)
+        self._fn_for(h, w)
+        return True
+
+    def execute(self, image: np.ndarray):
+        """Deprecated blocking extraction (popsift.h:133-139):
+        enqueue + get in one call."""
+        import warnings as _warnings
+        _warnings.warn("PopSift.execute is deprecated; use enqueue()",
+                       DeprecationWarning, stacklevel=2)
+        return self.enqueue(image).get()

@@ -43,9 +43,12 @@ def build_parser():
     p.add_argument("--float-mode", action="store_true",
                    help="process as float image (ImageFloat input mode, "
                         "popsift.cpp:143-148)")
-    p.add_argument("--test-direct-scaling", action="store_true",
+    p.add_argument("--test-direct-scaling", "--direct-scaling",
+                   dest="test_direct_scaling", action="store_true",
                    help="direct scaling mode: every octave built from "
-                        "the input image (ScalingMode ScaleDirect)")
+                        "the input image (ScalingMode ScaleDirect; the "
+                        "reference spells this --direct-scaling, "
+                        "main.cpp:100)")
     p.add_argument("--norm-mode", default=None,
                    choices=["rootsift", "classic"],
                    help="string form of --root-sift/--classic-norm")

@@ -119,3 +119,36 @@ def warp_image(img: np.ndarray, H: np.ndarray,
            + f[y0 + 1, x0] * (1 - fx) * fy + f[y0 + 1, x0 + 1] * fx * fy)
     out = np.where(valid, val, 0.0).reshape(h, w)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def synthetic_scene(h: int = 480, w: int = 640, seed: int = 0) -> np.ndarray:
+    """Deterministic textured test scene (sinusoid field + Gaussian
+    blobs) used by the offline Oxford-protocol fallback and the OpenCV
+    parity gate. Rich in corners/blobs across scales so all SIFT stages
+    get exercised."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 90 + 45 * np.sin(xx / 9.0) * np.cos(yy / 11.0)
+    for _ in range(24):
+        cx, cy = rng.uniform(0.1, 0.9) * w, rng.uniform(0.1, 0.9) * h
+        s = rng.uniform(2, 26)
+        img += rng.uniform(50, 130) * rng.choice([-1, 1]) * np.exp(
+            -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def protocol_homographies(h: int, w: int):
+    """The 5 synthetic-Oxford warps (rotation / scale / perspective)
+    shared by evaluate.py and the cv2 parity gate."""
+    out = []
+    for ang, scale, px in [(3, 1.0, 0), (8, 1.0, 0), (0, 0.85, 0),
+                           (5, 0.9, 1e-5), (12, 0.8, 2e-5)]:
+        a = np.deg2rad(ang)
+        cxy = np.array([w / 2, h / 2])
+        R = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+        A = scale * R
+        t = cxy - A @ cxy
+        out.append(np.array([[A[0, 0], A[0, 1], t[0]],
+                             [A[1, 0], A[1, 1], t[1]],
+                             [px, px / 2, 1.0]]))
+    return out

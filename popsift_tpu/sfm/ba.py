@@ -187,7 +187,9 @@ def schur_dense_step(p: BAProblem, lam, psum_axis=None):
         B = U Hpp^-1 U^T            (a (6Nc, 3Np) x (3Np, 6Nc) matmul)
 
     runs on the MXU. The reduced system S = Hcc + lam I - B (6Nc x 6Nc)
-    is then solved directly by Cholesky — exact, no CG tolerance.
+    is then solved directly — symmetric Jacobi scaling followed by an LU
+    solve (``jnp.linalg.solve``); exact, no CG tolerance. (LU rather
+    than Cholesky: S is PSD only up to f32 roundoff, see below.)
     Feasible whenever the dense U fits (Np*Nc*72 bytes; ~288 MB for the
     100-cam/40k-point benchmark problem) — ``bundle_adjust`` picks this
     path automatically and falls back to CG otherwise.

@@ -60,32 +60,15 @@ def eval_sequence_dir(seq_dir, eps):
 
 def eval_synthetic(eps, seed=0):
     """Offline fallback: synthetic scene + homography warps."""
-    from popsift_tpu.eval.repeatability import evaluate_pair, warp_image
+    from popsift_tpu.eval.repeatability import (
+        evaluate_pair, protocol_homographies, synthetic_scene, warp_image)
 
-    rng = np.random.default_rng(seed)
     h, w = 480, 640
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = 90 + 45 * np.sin(xx / 9.0) * np.cos(yy / 11.0)
-    for _ in range(24):
-        cx, cy = rng.uniform(0.1, 0.9) * w, rng.uniform(0.1, 0.9) * h
-        s = rng.uniform(2, 26)
-        img += rng.uniform(50, 130) * rng.choice([-1, 1]) * np.exp(
-            -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
-    base = np.clip(img, 0, 255).astype(np.uint8)
+    base = synthetic_scene(h, w, seed=seed)
     kp1, d1 = extract_one(base)
 
     rows = []
-    for n, (ang, scale, px) in enumerate(
-            [(3, 1.0, 0), (8, 1.0, 0), (0, 0.85, 0), (5, 0.9, 1e-5),
-             (12, 0.8, 2e-5)], start=2):
-        a = np.deg2rad(ang)
-        cxy = np.array([w / 2, h / 2])
-        R = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
-        A = scale * R
-        t = cxy - A @ cxy
-        H = np.array([[A[0, 0], A[0, 1], t[0]],
-                      [A[1, 0], A[1, 1], t[1]],
-                      [px, px / 2, 1.0]])
+    for n, H in enumerate(protocol_homographies(h, w), start=2):
         warped = warp_image(base, H)
         kp2, d2 = extract_one(warped)
         s = evaluate_pair(kp1, d1, kp2, d2, H, warped.shape, eps=eps)

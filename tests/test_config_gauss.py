@@ -120,3 +120,58 @@ def test_config_validation():
     # gauss mode aliases (sift_conf.cu:83-101)
     assert SiftConfig(gauss_mode="relative").gauss_mode == "vlfeat-relative"
     assert SiftConfig(gauss_mode="vlfeat-direct").gauss_mode == "vlfeat-relative-all"
+
+
+def _fold_blur_table(half: np.ndarray, span: int):
+    """Reference transformBlurTable (gauss_filter.cu:374-411), test-only:
+    fold adjacent tap pairs (a, b) into (ratio u, weight v) so one
+    hardware-lerp fetch at offset x + (1 - u) applies both taps."""
+    i_span = span if span % 2 == 1 else span + 1
+    folded = np.zeros(GAUSS_ALIGN, np.float32)
+    folded[0] = half[0]
+    for x in range(1, i_span, 2):
+        a = float(half[x])
+        b = float(half[x + 1])
+        folded[x] = a / (a + b)        # ratio u (odd slots)
+        folded[x + 1] = a + b          # multiplier v (even slots)
+    return folded, i_span
+
+
+def _unfold_through_lerp(folded: np.ndarray, i_span: int) -> np.ndarray:
+    """Expand the folded table through the hardware linear interpolation:
+    v * lerp(I[x], I[x+1]; 1-u) contributes v*u to tap x and v*(1-u) to
+    tap x+1 (s_pyramid_build_ai.cu:17-44 sampling convention)."""
+    eff = np.zeros(GAUSS_ALIGN, np.float32)
+    eff[0] = folded[0]
+    for x in range(1, i_span, 2):
+        u = float(folded[x])
+        v = float(folded[x + 1])
+        eff[x] = np.float32(v * u)
+        eff[x + 1] = np.float32(v * (1.0 - u))
+    return eff
+
+
+@pytest.mark.parametrize("mode", ["vlfeat-relative", "vlfeat", "opencv"])
+def test_tap_folding_identity(mode):
+    """The hw-interpolated blur path (gauss::absoluteSourceInterpolated,
+    s_pyramid_build_ai.cu) is numerically the plain-tap filter: folding
+    (gauss_filter.cu:374-411) then expanding through the lerp recovers
+    every tap. This checks the claim gauss.py:17-19 relies on when it
+    builds only the plain-tap bank."""
+    c = SiftConfig(gauss_mode=mode)
+    t = build_gauss_tables(c)
+    for bank, spans in ((t.inc, t.inc_span), (t.abs_o0, t.abs_o0_span),
+                        (t.abs_oN, t.abs_oN_span)):
+        for half, span in zip(bank, spans):
+            span = int(span)
+            if span < 2:     # identity filter: nothing to fold
+                continue
+            folded, i_span = _fold_blur_table(half, span)
+            eff = _unfold_through_lerp(folded, i_span)
+            # exact up to a few f32 roundings (fold divide + unfold multiply)
+            np.testing.assert_allclose(eff[:span], half[:span],
+                                       rtol=1e-6, atol=1e-12)
+            # full symmetric kernels agree too (what the image sees)
+            np.testing.assert_allclose(
+                full_kernel(eff, span), full_kernel(half, span),
+                rtol=1e-6, atol=1e-12)

@@ -1,0 +1,54 @@
+"""External parity gate vs OpenCV cv2.SIFT (the independent check the
+reference gets from its Oxford golden compare,
+testScripts/testOxfordDataset.sh.in:85-158).
+
+These tests run the full protocol from scripts/parity_cv2.py at a
+reduced size so CI stays fast; the committed PARITY_CV2.json artifact
+records the full 480x640 run."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+if not hasattr(cv2, "SIFT_create"):
+    pytest.skip("cv2 has no SIFT", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def parity_result():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from parity_cv2 import run
+    return run(h=240, w=320, eps=2.5, tol=1.5)
+
+
+@pytest.mark.slow
+def test_matching_score_95pct_parity(parity_result):
+    """BASELINE gate: matching score >= 95% of the external reference."""
+    ms = parity_result["matching_score"]
+    assert ms["cv2"] > 0.2, f"cv2 matching score degenerate: {ms}"
+    assert ms["ratio"] >= 0.95, f"below 95% parity: {ms}"
+
+
+@pytest.mark.slow
+def test_detection_agreement(parity_result):
+    """A majority of cv2 detections must have a mutual-NN popsift_tpu
+    detection within 1.5 px with consistent scale."""
+    rows = parity_result["detection_agreement"]
+    fracs = [r["agree_frac"] for r in rows]
+    assert np.mean(fracs) >= 0.5, rows
+    for r in rows:
+        if r["n_pairs"] >= 10:
+            assert r["pos_rmse_px"] <= 1.0, r
+            assert 0.8 <= r["sigma_ratio_median"] <= 1.25, r
+
+
+@pytest.mark.slow
+def test_descriptor_layout_link(parity_result):
+    """After recovering the dimension permutation, matched descriptors
+    must be strongly correlated across implementations."""
+    link = parity_result["descriptor_link"]
+    assert link["n_pairs"] >= 50
+    assert link["mean_cosine_after_permutation"] >= 0.8, link

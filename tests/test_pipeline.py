@@ -118,3 +118,31 @@ def test_scan_batched_extraction(small_image):
         assert int(nk[i]) == int(ref.n_keypoints)
         np.testing.assert_allclose(float(ds[i]),
                                    float(jnp.sum(ref.desc)), rtol=1e-5)
+
+
+def test_deprecated_init_execute_shims(small_image):
+    """Deprecated blocking API (PopSift::init/execute,
+    popsift.h:122-139): init warms the plan, execute = enqueue + get."""
+    import warnings
+    ps = PopSift(SiftConfig(octaves=2))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert ps.init(small_image.shape[1], small_image.shape[0])
+        host = ps.execute(small_image)
+    assert any(issubclass(w.category, DeprecationWarning) for w in rec)
+    ref = ps.enqueue(small_image).get()
+    assert host.getFeatureCount() == ref.getFeatureCount()
+    assert host.getDescriptorCount() == ref.getDescriptorCount()
+
+
+def test_matching_mode_get_returns_dev(small_image):
+    """In matching mode SiftJob.get resolves to the device-resident
+    FeaturesDev (matchPrepareLoop, popsift.cpp:215-236) with no host
+    compaction; extracting mode keeps returning FeaturesHost."""
+    from popsift_tpu.api import FeaturesDev, FeaturesHost
+    cfg = SiftConfig(octaves=2)
+    dev = PopSift(cfg, mode="matching").enqueue(small_image).get()
+    assert isinstance(dev, FeaturesDev)
+    host = PopSift(cfg).enqueue(small_image).get()
+    assert isinstance(host, FeaturesHost)
+    assert dev.getDescriptorCount() == host.getDescriptorCount()
