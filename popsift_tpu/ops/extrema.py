@@ -211,25 +211,31 @@ def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
     return flat_idx, total, dropped
 
 
-def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
-                   oct_w: int, oct_h: int, row_window: tuple | None = None,
-                   y_offset=0) -> OctaveExtrema:
-    """Detect, compact and refine extrema in one octave's DoG stack.
+class CandidateSet(NamedTuple):
+    """Per-octave compacted candidates + refinement patches (the cheap,
+    shape-dependent half of detection — see :func:`refine_candidates`)."""
 
-    Spatial sharding (parallel/spatial.py) passes a *row band with halo*:
-    ``row_window=(lo, hi)`` restricts candidate rows to the device's own
-    band [lo, hi) of the local array, and ``y_offset`` (traced scalar ok)
-    is the global row index of local row 0 — all bound tests and outputs
-    then use global coordinates while patch reads stay local. ``oct_h``
-    is always the FULL octave height.
+    patches: jnp.ndarray   # f32[K, D, P, P] refinement windows
+    x0: jnp.ndarray        # i32[K] start column
+    y0: jnp.ndarray        # i32[K] start row (local)
+    z0: jnp.ndarray        # i32[K] start dog layer
+    valid: jnp.ndarray     # bool[K]
+    n_found: jnp.ndarray   # i32[]
+    n_dropped: jnp.ndarray  # i32[]
+
+
+def collect_candidates(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
+                       row_window: tuple | None = None) -> CandidateSet:
+    """Mask + compact + window-extract for one octave's DoG stack.
+
+    This is the only part of detection whose array shapes depend on the
+    octave; the refinement math (:func:`refine_candidates`) runs on the
+    capacity-padded candidate list and batches across octaves — on TPU
+    the per-octave unrolled refinement was pure op-dispatch overhead
+    (~hundreds of small fused ops per frame), so the pipeline
+    concatenates all octaves' CandidateSets and refines once.
     """
     D, H, W = dog.shape
-    Z = cfg.total_levels - 3
-    maxlevel = cfg.total_levels - 1
-    thr = np.float32(cfg.peak_threshold)
-    vlfeat = cfg.sift_mode == "vlfeat"
-    goff = jnp.asarray(y_offset, jnp.int32)
-
     mask = _candidate_mask(dog, cfg)
     if row_window is not None:
         lo, hi = row_window
@@ -271,7 +277,33 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
             return jax.lax.dynamic_slice(dogp, (0, y, x), (D, P, P))
 
         patches = jax.vmap(one_patch)(y0, x0)  # [K, D, P, P]
-    K = capacity
+    return CandidateSet(patches=patches, x0=x0, y0=y0, z0=z0,
+                        valid=cand_valid, n_found=n_found,
+                        n_dropped=n_dropped)
+
+
+def refine_candidates(cand: CandidateSet, cfg: SiftConfig,
+                      oct_w, oct_h, y_offset=0) -> OctaveExtrema:
+    """5-iteration masked sub-pixel refinement + final tests over a
+    capacity-padded candidate list (the batched half of detection).
+
+    ``oct_w``/``oct_h``/``y_offset`` may be Python ints (single octave)
+    or per-candidate i32 arrays (cross-octave batched lists, where each
+    row carries its own octave's dimensions); all bound tests broadcast.
+    ``y_offset`` is the global row of local row 0 for spatially-sharded
+    bands; ``oct_h`` is always the FULL octave height.
+    """
+    patches = cand.patches
+    K, D, P, _ = patches.shape
+    R = (P - 1) // 2
+    capacity = K
+    Wb = jnp.asarray(oct_w, jnp.int32)           # bound arrays (broadcast)
+    Hb = jnp.asarray(oct_h, jnp.int32)
+    maxlevel = cfg.total_levels - 1
+    thr = np.float32(cfg.peak_threshold)
+    vlfeat = cfg.sift_mode == "vlfeat"
+    goff = jnp.asarray(y_offset, jnp.int32)
+    x0, y0, z0, cand_valid = cand.x0, cand.y0, cand.z0, cand.valid
 
     def neighborhood(nz, oy, ox):
         """All 27 neighbor values at layer nz + offset (oy, ox) from the
@@ -351,9 +383,9 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
         if not last_it:
             # step policy (popsift s_extrema.cu:258-284; vlfeat :207-232);
             # row bounds in global coordinates (ny + goff)
-            tx = (jnp.where((sx >= 0.6) & (nx < W - 2), 1, 0)
+            tx = (jnp.where((sx >= 0.6) & (nx < Wb - 2), 1, 0)
                   + jnp.where((sx <= -0.6) & (nx > 1), -1, 0))
-            ty = (jnp.where((sy >= 0.6) & (ny + goff < oct_h - 2), 1, 0)
+            ty = (jnp.where((sy >= 0.6) & (ny + goff < Hb - 2), 1, 0)
                   + jnp.where((sy <= -0.6) & (ny + goff > 1), -1, 0))
             if vlfeat:
                 tz = jnp.zeros_like(tx)
@@ -379,8 +411,9 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
     sn = nz.astype(jnp.float32) + dz
 
     # verify bounds (s_extrema.cu:286-297), rows against the full octave
-    ok = ok & (xn >= 0.0) & (xn <= W - 1.0) & (yn >= 0.0) \
-        & (yn <= oct_h - 1.0) & (sn >= 0.0) & (sn <= maxlevel)
+    ok = ok & (xn >= 0.0) & (xn <= Wb.astype(jnp.float32) - 1.0) \
+        & (yn >= 0.0) & (yn <= Hb.astype(jnp.float32) - 1.0) \
+        & (sn >= 0.0) & (sn <= maxlevel)
 
     contr = v + 0.5 * (Dx * dx + Dy * dy + Ds * dz)
     tr = DDx + DDy
@@ -394,8 +427,8 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
     sigma0 = np.float32(cfg.sigma)
     sigma = sigma0 * jnp.exp2(sn / np.float32(cfg.levels))
 
-    w_div = np.float32(oct_w / cfg.filter_grid_size)
-    h_div = np.float32(oct_h / cfg.filter_grid_size)
+    w_div = Wb.astype(jnp.float32) / np.float32(cfg.filter_grid_size)
+    h_div = Hb.astype(jnp.float32) / np.float32(cfg.filter_grid_size)
     cell = (jnp.floor(yn / h_div) * cfg.filter_grid_size
             + jnp.floor(xn / w_div)).astype(jnp.int32)
 
@@ -408,6 +441,24 @@ def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
         cell=jnp.where(ok, cell, 0),
         valid=ok,
         count=jnp.sum(ok, dtype=jnp.int32),
-        n_candidates=n_found,
-        n_dropped=n_dropped,
+        n_candidates=cand.n_found,
+        n_dropped=cand.n_dropped,
     )
+
+
+def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
+                   oct_w: int, oct_h: int, row_window: tuple | None = None,
+                   y_offset=0) -> OctaveExtrema:
+    """Detect, compact and refine extrema in one octave's DoG stack
+    (collect + refine in one call — the single-octave convenience form;
+    the pipeline batches refinement across octaves itself).
+
+    Spatial sharding (parallel/spatial.py) passes a *row band with halo*:
+    ``row_window=(lo, hi)`` restricts candidate rows to the device's own
+    band [lo, hi) of the local array, and ``y_offset`` (traced scalar ok)
+    is the global row index of local row 0 — all bound tests and outputs
+    then use global coordinates while patch reads stay local. ``oct_h``
+    is always the FULL octave height.
+    """
+    cand = collect_candidates(dog, cfg, capacity, row_window=row_window)
+    return refine_candidates(cand, cfg, oct_w, oct_h, y_offset=y_offset)

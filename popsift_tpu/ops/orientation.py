@@ -110,11 +110,14 @@ def _orientation_hist_xla(blur, ext, cfg, R, y_bounds=None):
          for b in range(ORI_NBINS)], axis=1)
 
 
-def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
-                        cfg: SiftConfig,
-                        use_pallas: bool | None = None,
-                        y_bounds=None) -> OctaveOrientations:
-    """Compute up to 4 orientations for each (padded) extremum.
+def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
+                           cfg: SiftConfig,
+                           use_pallas: bool | None = None,
+                           y_bounds=None) -> jnp.ndarray:
+    """Raw 36-bin gradient histograms f32[K, 36] for one octave's
+    (padded) extrema — the only orientation phase that reads the octave
+    image; the peak-finding tail (:func:`orientations_from_histograms`)
+    is image-free and batches across octaves in the pipeline.
 
     Gradient reads go through one contiguous window per keypoint instead
     of per-pixel gathers; on TPU the histogram runs as a Pallas kernel
@@ -133,10 +136,15 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
         Wp = max(-(-(W + 240) // 128) * 128, 256)
         img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)),
                        mode="edge")
-        hist = orientation_hist_pallas(img2, ext, R, H, W)
-    else:
-        hist = _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
+        return orientation_hist_pallas(img2, ext, R, H, W)
+    return _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
 
+
+def orientations_from_histograms(hist: jnp.ndarray,
+                                 valid: jnp.ndarray) -> OctaveOrientations:
+    """Smoothing + peak refinement + 0.8-max acceptance over histograms
+    (s_orientation.cu:142-241). Pure [K, 36] math — callers concatenate
+    all octaves' histograms and run this once per frame."""
     # VLFeat smoothing: 3 x (two circular box-3 passes)
     for _ in range(6):
         hist = (jnp.roll(hist, 1, axis=1) + hist
@@ -156,7 +164,7 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
     top_val, top_idx = jax.lax.top_k(yval, ORIENTATION_MAX_COUNT)
     best = top_val[:, :1]
     accept = (top_val >= 0.8 * best) & jnp.isfinite(top_val) \
-        & ext.valid[:, None]
+        & valid[:, None]
 
     chosen = jnp.take_along_axis(refined, top_idx, axis=1)
     chosen = jnp.where(chosen >= ORI_NBINS, chosen - ORI_NBINS, chosen)
@@ -168,3 +176,15 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
         ori_valid=accept,
         num_ori=jnp.sum(accept, axis=1, dtype=jnp.int32),
     )
+
+
+def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
+                        cfg: SiftConfig,
+                        use_pallas: bool | None = None,
+                        y_bounds=None) -> OctaveOrientations:
+    """Compute up to 4 orientations for each (padded) extremum —
+    histogram + peak tail in one call (single-octave convenience form;
+    the pipeline batches the tail across octaves itself)."""
+    hist = orientation_histograms(blur, ext, cfg, use_pallas=use_pallas,
+                                  y_bounds=y_bounds)
+    return orientations_from_histograms(hist, ext.valid)

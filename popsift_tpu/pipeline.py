@@ -33,9 +33,9 @@ from .ops.descriptors import (
     make_descriptor_jobs,
     normalize_descriptors,
 )
-from .ops.extrema import detect_extrema
+from .ops.extrema import detect_extrema  # noqa: F401 (public surface)
 from .ops.gridfilter import maybe_grid_filter
-from .ops.orientation import assign_orientations
+from .ops.orientation import OctaveOrientations, assign_orientations  # noqa: F401
 from .ops.pyramid import PyramidPlan, build_pyramid, build_pyramid_plan
 
 
@@ -118,84 +118,115 @@ def build_extract_plan(config: SiftConfig, height: int, width: int,
 
 def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
             desc_chunk: int = 1024) -> SiftFeatures:
-    """Run the full pipeline on one image. Jit-compatible."""
+    """Run the full pipeline on one image. Jit-compatible.
+
+    Keypoint-stage math is batched ACROSS octaves: only the phases that
+    read octave-shaped images (candidate mask/compact/window DMA,
+    orientation-histogram windows, descriptor windows) run per octave;
+    the 5-iteration refinement, orientation peak tail, descriptor
+    normalization and output assembly each run once on the concatenated
+    capacity-padded lists. The per-octave unrolled form was pure
+    op-dispatch overhead on TPU (9 octaves x ~hundreds of small fused
+    ops); the reference instead overlaps per-octave kernels on CUDA
+    streams (sift_octave.h:60-64) — batching is the XLA-native
+    equivalent.
+    """
     cfg = plan.config
     blurs, dogs = build_pyramid(img_u8, plan.pyramid)
+    from .ops.extrema import CandidateSet, collect_candidates, \
+        refine_candidates
+    from .ops.orientation import orientation_histograms, \
+        orientations_from_histograms
 
-    kp_fields = {k: [] for k in
-                 ("x", "y", "sigma", "octave", "num_ori", "valid",
-                  "ori", "ori_valid")}
-    desc_fields = {k: [] for k in ("desc", "desc_kp", "desc_valid")}
+    caps = plan.ext_caps
+    offs = np.concatenate([[0], np.cumsum(caps)]).astype(int)
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
 
-    # phase 1: detect in every octave (Pyramid::find_extrema)
-    exts = []
-    for octv, ((oh, ow), dog) in enumerate(zip(plan.pyramid.dims, dogs)):
-        exts.append(detect_extrema(dog, cfg, plan.ext_caps[octv], ow, oh))
+    # phase 1a: per-octave candidate collection (Pyramid::find_extrema)
+    cands = [collect_candidates(dog, cfg, caps[o])
+             for o, dog in enumerate(dogs)]
+
+    # phase 1b: one batched refinement over all octaves' candidates,
+    # each row carrying its own octave's dimensions
+    octv_row = np.concatenate(
+        [np.full(caps[o], o, np.int32) for o in range(len(caps))])
+    w_row = np.concatenate(
+        [np.full(caps[o], ow, np.int32)
+         for o, (oh, ow) in enumerate(plan.pyramid.dims)])
+    h_row = np.concatenate(
+        [np.full(caps[o], oh, np.int32)
+         for o, (oh, ow) in enumerate(plan.pyramid.dims)])
+    merged = CandidateSet(
+        patches=cat([c.patches for c in cands]),
+        x0=cat([c.x0 for c in cands]), y0=cat([c.y0 for c in cands]),
+        z0=cat([c.z0 for c in cands]), valid=cat([c.valid for c in cands]),
+        n_found=jnp.stack([c.n_found for c in cands]).sum(),
+        n_dropped=jnp.stack([c.n_dropped for c in cands]).sum())
+    g = refine_candidates(merged, cfg, w_row, h_row)
 
     # phase 2: global grid-budget filter before the expensive stages
     # (extrema_filter_grid runs before orientation, s_orientation.cu:353-367)
+    scale_row = np.exp2(octv_row.astype(np.float32)
+                        - np.float32(cfg.upscale_factor))
+    gvalid = g.valid
     if cfg.filter_max_extrema > 0:
-        cells = jnp.concatenate([e.cell for e in exts])
-        sig_g = jnp.concatenate(
-            [e.sigma * np.float32(2.0 ** (o - cfg.upscale_factor))
-             for o, e in enumerate(exts)])
-        val_g = jnp.concatenate([e.valid for e in exts])
-        new_valid = maybe_grid_filter(cells, sig_g, val_g, cfg)
-        off = 0
-        for octv, e in enumerate(exts):
-            cap = plan.ext_caps[octv]
-            seg = new_valid[off:off + cap]
-            exts[octv] = e._replace(
-                valid=seg, count=jnp.sum(seg, dtype=jnp.int32))
-            off += cap
+        gvalid = maybe_grid_filter(g.cell, g.sigma * scale_row, gvalid,
+                                   cfg)
 
-    # phase 3: orientation + descriptors per octave
-    kp_offset = 0
-    for octv, ((oh, ow), blur, dog) in enumerate(
-            zip(plan.pyramid.dims, blurs, dogs)):
-        cap = plan.ext_caps[octv]
-        ext = exts[octv]
-        oris = assign_orientations(blur, ext, cfg)
-        jobs = make_descriptor_jobs(ext, oris, plan.job_caps[octv])
-        raw = compute_descriptors(blur, jobs, cfg, chunk=desc_chunk)
-        desc = normalize_descriptors(raw, cfg)
-        desc = jnp.where(jobs.valid[:, None], desc, 0.0)
+    # phase 3a: per-octave orientation histograms (window reads), one
+    # batched peak tail
+    def oct_slice(a, o):
+        return a[offs[o]:offs[o + 1]]
 
-        scale = np.float32(2.0 ** (octv - cfg.upscale_factor))
-        kp_fields["x"].append(ext.x * scale)
-        kp_fields["y"].append(ext.y * scale)
-        kp_fields["sigma"].append(ext.sigma * scale)
-        kp_fields["octave"].append(
-            jnp.full((cap,), octv, jnp.int32))
-        kp_fields["num_ori"].append(oris.num_ori)
-        kp_fields["valid"].append(ext.valid)
-        kp_fields["ori"].append(oris.ori)
-        kp_fields["ori_valid"].append(oris.ori_valid)
+    hists = []
+    for octv, blur in enumerate(blurs):
+        ext_o = g._replace(
+            x=oct_slice(g.x, octv), y=oct_slice(g.y, octv),
+            s=oct_slice(g.s, octv), level=oct_slice(g.level, octv),
+            sigma=oct_slice(g.sigma, octv), cell=oct_slice(g.cell, octv),
+            valid=oct_slice(gvalid, octv))
+        hists.append(orientation_histograms(blur, ext_o, cfg))
+    oris = orientations_from_histograms(cat(hists), gvalid)
 
-        desc_fields["desc"].append(desc)
-        desc_fields["desc_kp"].append(jobs.kp_index + kp_offset)
-        desc_fields["desc_valid"].append(jobs.valid)
-        kp_offset += cap
+    # phase 3b: per-octave descriptor jobs + window-reading kernels;
+    # normalization and masking batched at the end
+    raw_descs, job_kps, job_valids = [], [], []
+    for octv, blur in enumerate(blurs):
+        ext_o = g._replace(
+            x=oct_slice(g.x, octv), y=oct_slice(g.y, octv),
+            s=oct_slice(g.s, octv), level=oct_slice(g.level, octv),
+            sigma=oct_slice(g.sigma, octv), cell=oct_slice(g.cell, octv),
+            valid=oct_slice(gvalid, octv))
+        oris_o = OctaveOrientations(
+            ori=oct_slice(oris.ori, octv),
+            ori_valid=oct_slice(oris.ori_valid, octv),
+            num_ori=oct_slice(oris.num_ori, octv))
+        jobs = make_descriptor_jobs(ext_o, oris_o, plan.job_caps[octv])
+        raw_descs.append(compute_descriptors(blur, jobs, cfg,
+                                             chunk=desc_chunk))
+        job_kps.append(jobs.kp_index + offs[octv])
+        job_valids.append(jobs.valid)
 
-    cat = lambda xs: jnp.concatenate(xs, axis=0)
-    valid = cat(kp_fields["valid"])
-    desc_valid = cat(desc_fields["desc_valid"])
+    desc_valid = cat(job_valids)
+    desc = normalize_descriptors(cat(raw_descs), cfg)
+    desc = jnp.where(desc_valid[:, None], desc, 0.0)
+
     return SiftFeatures(
-        x=cat(kp_fields["x"]),
-        y=cat(kp_fields["y"]),
-        sigma=cat(kp_fields["sigma"]),
-        octave=cat(kp_fields["octave"]),
-        num_ori=cat(kp_fields["num_ori"]),
-        valid=valid,
-        ori=cat(kp_fields["ori"]),
-        ori_valid=cat(kp_fields["ori_valid"]),
-        desc=cat(desc_fields["desc"]),
-        desc_kp=cat(desc_fields["desc_kp"]),
+        x=g.x * scale_row,
+        y=g.y * scale_row,
+        sigma=g.sigma * scale_row,
+        octave=jnp.asarray(octv_row),
+        num_ori=oris.num_ori,
+        valid=gvalid,
+        ori=oris.ori,
+        ori_valid=oris.ori_valid,
+        desc=desc,
+        desc_kp=cat(job_kps),
         desc_valid=desc_valid,
-        n_keypoints=jnp.sum(valid, dtype=jnp.int32),
+        n_keypoints=jnp.sum(gvalid, dtype=jnp.int32),
         n_descriptors=jnp.sum(desc_valid, dtype=jnp.int32),
-        octave_candidates=jnp.stack([e.n_candidates for e in exts]),
-        octave_dropped=jnp.stack([e.n_dropped for e in exts]),
+        octave_candidates=jnp.stack([c.n_found for c in cands]),
+        octave_dropped=jnp.stack([c.n_dropped for c in cands]),
     )
 
 
