@@ -412,7 +412,7 @@ def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
 def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
                         cfg: SiftConfig, chunk: int = 1024,
                         use_pallas: bool | None = None,
-                        y_bounds=None) -> jnp.ndarray:
+                        y_bounds=None, padded=None) -> jnp.ndarray:
     """Unnormalized descriptors f32[F, 128].
 
     Variant dispatch (DescMode, sift_conf.h:59-65), each name mapping to
@@ -451,15 +451,16 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
         if use_pallas and radius <= 51:
             from .pallas.desc import descriptor_loop_pallas_dma
 
-            # pad so every aligned 112x256 DMA window fits; extra
+            # padded so every aligned 112x256 DMA window fits; extra
             # rows/cols lie beyond the descriptor support (L2 norm >
-            # 2.5*sqrt(2)) and get zero tile weight
+            # 2.5*sqrt(2)) and get zero tile weight. The padded buffer
+            # is shared with the orientation kernel when the pipeline
+            # provides it (pad_for_window_kernels).
             H, W = hw
-            Hp = max(-(-(H + 64) // 8) * 8, 112)
-            Wp = max(-(-(W + 208) // 128) * 128, 256)
-            img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                           mode="edge")
-            return descriptor_loop_pallas_dma(img2, jobs, radius, H, W)
+            if padded is None:
+                from .orientation import pad_for_window_kernels
+                padded = pad_for_window_kernels(blur, H, W)
+            return descriptor_loop_pallas_dma(padded, jobs, radius, H, W)
 
         def body_fn(j):
             return _descriptor_loop_chunk(img, hw, j, radius,

@@ -136,6 +136,35 @@ def _solve3(a00, a01, a02, a11, a12, a22, b0, b1, b2):
         jnp.where(singular, z, x1), jnp.where(singular, z, x2)
 
 
+def _rank_compact_rows(m: jnp.ndarray, K: int):
+    """Per-row rank compaction of a [nb, 128] boolean mask: returns
+    (pos i8[nb, K] lane of the j-th set bit, full_cnt i32[nb]).
+
+    Within each 128-lane row an inclusive lane prefix-sum (7 shifted
+    int8 adds) ranks the set bits — the moral equivalent of the
+    reference's warp-ballot compaction (s_extrema.cu:22-44) — and K
+    per-rank masked reductions turn ranks into lane positions. int8
+    throughout (ranks <= 128 fit; (32, 128) tiles keep traffic 4x below
+    int32). Overflow at a fully-set row wraps to -128, which never
+    matches the j+1 <= K comparisons.
+    """
+    nb, B = m.shape
+    A = m.astype(jnp.int8)
+    d = 1
+    while d < B:
+        A = A + jnp.pad(A, ((0, 0), (d, 0)))[:, :B]
+        d *= 2
+    A = jnp.where(m, A, jnp.int8(0))          # rank (1-based) of set bits
+    # the max rank saturates at 127, so a 100%-dense row under-reports
+    # its count by exactly one — irrelevant for the signals using it
+    full_cnt = jnp.max(A, axis=1).astype(jnp.int32)
+    iota8 = jax.lax.broadcasted_iota(jnp.int8, (nb, B), 1)  # 0..127 fits
+    pos = jnp.stack(
+        [jnp.max(jnp.where(A == jnp.int8(j + 1), iota8, jnp.int8(0)),
+                 axis=1) for j in range(K)], axis=1)        # [nb, K] i8
+    return pos, full_cnt
+
+
 def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
     """Compact a sparse boolean mask into up to ``capacity`` flat indices,
     preserving ascending index order — ``jnp.nonzero`` semantics with a
@@ -143,26 +172,33 @@ def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
 
     A single ``jnp.nonzero`` over a full-octave mask lowers to a global
     cumsum+gather costing ~220 ms on a 24.9M mask (v5e); batched
-    ``lax.top_k`` ~13 ms. This rank-based scheme measures ~2.6 ms:
+    ``lax.top_k`` ~13 ms. This scheme is two-level:
 
-    1. within each 128-lane block, an inclusive lane prefix-sum (7
-       shifted adds) ranks the set bits — the moral equivalent of the
-       reference's warp-ballot compaction (s_extrema.cu:22-44);
-    2. K per-rank masked reductions turn ranks into lane positions
-       ([nb, K], one fused pass each);
-    3. block write offsets come from one small cumsum over block counts,
-       and the output is *gathered* (searchsorted over offsets) rather
-       than scattered, so no second nonzero is needed.
+    1. ONE cheap dense pass computes per-128-lane-block counts (the
+       only full-mask traffic: a bool read + i32 row reduce);
+    2. the ids of the first up-to-``capacity`` NON-EMPTY blocks are
+       compacted recursively (the level-2 mask is nb bits — trivial);
+    3. only those blocks' mask rows are gathered, and the expensive
+       rank phase (:func:`_rank_compact_rows`: 7 shifted adds + K
+       per-rank reductions) runs on the [<=capacity, 128] gathered
+       rows instead of the full mask — on a 24.9M 1080p mask that
+       replaced ~1.4 ms/frame of dense int8 passes with work
+       proportional to the candidate count;
+    4. block write offsets come from one small cumsum over block
+       counts, and the output is *gathered* (searchsorted over
+       offsets) rather than scattered, so no second nonzero is needed.
+
+    Ascending-order semantics survive the truncation to ``capacity``
+    non-empty blocks: each non-empty block holds >= 1 candidate, so the
+    first ``capacity`` candidates always live in the first ``capacity``
+    non-empty blocks.
 
     Blocks denser than K candidates per 128 lanes drop the excess — a
     *spatially local* clamp the reference's global ``max_extrema`` clamp
     (s_extrema.cu:551-561) does not have, so the third return value
     reports how many candidates were dropped this way (calibration and
     the API warning path watch it). K auto-scales with the
-    capacity/mask-size ratio: cost of step 2 is linear in K, so big
-    production masks keep K small while small/dense inputs (tests, heavy
-    texture at low peak thresholds) get exact semantics. Pass
-    ``block_k`` to pin it.
+    capacity/mask-size ratio; pass ``block_k`` to pin it.
     """
     N = flat.shape[0]
     B = 128
@@ -177,37 +213,41 @@ def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
     pad = nb * B - N
     m = jnp.pad(flat, (0, pad)).reshape(nb, B)
 
-    # the whole dense phase runs in int8 (ranks <= B fit; int8 tiles at
-    # (32, 128) so HBM traffic is 4x lower than int32 — measured 2.6 ms
-    # -> 0.5 ms on a 24.9M mask). Overflow at a fully-set block wraps to
-    # -128, which never matches the j+1 <= K comparisons below.
-    A = m.astype(jnp.int8)
-    d = 1
-    while d < B:
-        A = A + jnp.pad(A, ((0, 0), (d, 0)))[:, :B]
-        d *= 2
-    A = jnp.where(m, A, jnp.int8(0))          # rank (1-based) of set bits
-
-    # block counts from the int8 rank maximum (free — A is already
-    # materialized; a separate int32 sum over the mask costs an extra
-    # ~2 ms pass on a 24.9M mask). The max rank saturates at 127, so a
-    # 100%-dense 128-lane block under-reports its drop count by exactly
-    # one — irrelevant for the calibration signal.
-    full_cnt = jnp.max(A, axis=1).astype(jnp.int32)
-    cnt = jnp.minimum(full_cnt, K)
-    dropped = jnp.sum(full_cnt - cnt)
-    iota8 = jax.lax.broadcasted_iota(jnp.int8, (nb, B), 1)  # 0..127 fits
-    pos = jnp.stack(
-        [jnp.max(jnp.where(A == jnp.int8(j + 1), iota8, jnp.int8(0)),
-                 axis=1) for j in range(K)], axis=1)        # [nb, K] i8
+    if nb <= max(2 * capacity, 512):
+        # small masks: the dense single-level scheme is already cheap
+        pos, full_cnt = _rank_compact_rows(m, K)
+        cnt = jnp.minimum(full_cnt, K)
+        dropped = jnp.sum(full_cnt - cnt)
+        bids = jnp.arange(nb, dtype=jnp.int32)
+        nsel = nb
+    else:
+        # level 1: per-block counts (the only full-mask pass)
+        blk_cnt = jnp.sum(m, axis=1, dtype=jnp.int32)        # [nb]
+        total_bits = jnp.sum(blk_cnt)
+        # level 2: ids of the first <= capacity non-empty blocks.
+        # block_k=127 (the int8 max): non-empty blocks DO cluster (a
+        # textured image region fills consecutive blocks), so the
+        # level-2 density clamp must never bind
+        bids, _, _ = _compact_mask(blk_cnt > 0, capacity, block_k=127)
+        nsel = capacity
+        sel_rows = m[bids]                                   # [cap, 128]
+        sel_valid = jnp.arange(capacity, dtype=jnp.int32) < \
+            jnp.sum(blk_cnt > 0, dtype=jnp.int32)
+        sel_rows = sel_rows & sel_valid[:, None]
+        pos, full_cnt = _rank_compact_rows(sel_rows, K)
+        cnt = jnp.minimum(full_cnt, K)
+        # density-clamp drops + candidates in blocks beyond the
+        # truncation (the latter only occur past saturation)
+        dropped = total_bits - jnp.sum(cnt)
 
     off = jnp.cumsum(cnt) - cnt               # exclusive block offsets
     total = jnp.minimum(off[-1] + cnt[-1], capacity)
     s = jnp.arange(capacity, dtype=jnp.int32)
     b = jnp.clip(jnp.searchsorted(off, s, side="right").astype(jnp.int32)
-                 - 1, 0, nb - 1)
+                 - 1, 0, nsel - 1)
     j = jnp.clip(s - off[b], 0, K - 1)
-    flat_idx = b * B + pos.reshape(-1)[b * K + j].astype(jnp.int32)
+    flat_idx = (bids[b] * B
+                + pos.reshape(-1)[b * K + j].astype(jnp.int32))
     return flat_idx, total, dropped
 
 

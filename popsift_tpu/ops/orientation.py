@@ -110,10 +110,20 @@ def _orientation_hist_xla(blur, ext, cfg, R, y_bounds=None):
          for b in range(ORI_NBINS)], axis=1)
 
 
+def pad_for_window_kernels(blur: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Edge-pad an octave image once for BOTH window-DMA kernels
+    (orientation 64x256 windows, descriptor 112x256 windows). Padding
+    dominated the frame profile when each kernel padded its own copy
+    (~4.9 ms/frame of concatenate+pad HBM traffic at 1080p)."""
+    Hp = max(-(-(H + 64) // 8) * 8, 112)
+    Wp = max(-(-(W + 240) // 128) * 128, 256)
+    return jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+
+
 def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
                            cfg: SiftConfig,
                            use_pallas: bool | None = None,
-                           y_bounds=None) -> jnp.ndarray:
+                           y_bounds=None, padded=None) -> jnp.ndarray:
     """Raw 36-bin gradient histograms f32[K, 36] for one octave's
     (padded) extrema — the only orientation phase that reads the octave
     image; the peak-finding tail (:func:`orientations_from_histograms`)
@@ -132,10 +142,8 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
     if use_pallas is None:
         use_pallas = ori_pallas_available() and y_bounds is None
     if use_pallas and R <= 26:
-        Hp = max(-(-(H + 40) // 8) * 8, 64)
-        Wp = max(-(-(W + 240) // 128) * 128, 256)
-        img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                       mode="edge")
+        img2 = padded if padded is not None else \
+            pad_for_window_kernels(blur, H, W)
         return orientation_hist_pallas(img2, ext, R, H, W)
     return _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
 

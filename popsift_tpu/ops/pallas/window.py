@@ -18,8 +18,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _G = 8
-_WR = 24    # window rows (>= patch rows + 7-row alignment slack)
-_WC = 256   # window cols (>= patch cols + 127-lane slack)
+_WR = 24    # DMA window rows (>= patch rows + 7-row alignment slack)
+_WC = 256   # DMA window cols (>= patch cols + 127-lane slack)
+_OR = 16    # output rows per candidate (after the roll de-offsets)
+_OC = 128   # output cols per candidate
 
 
 def _win_kernel(nv_ref, ya_ref, ca_ref, pk_ref, vol_hbm, out_ref,
@@ -61,7 +63,11 @@ def _win_kernel(nv_ref, ya_ref, ca_ref, pk_ref, vol_hbm, out_ref,
             rx = jax.lax.rem(pk, 256)
             w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 1),
                            _WC - rx, 2)
-            out_ref[g] = w
+            # write only the aligned useful region: the [24, 256] DMA
+            # window exists for alignment slack, but materializing it
+            # per candidate costs 4x the HBM write traffic of the
+            # [16, 128] tile the callers actually slice from
+            out_ref[g] = w[:, :_OR, :_OC]
 
     @pl.when(jnp.logical_not(active(i)))
     def _():
@@ -78,7 +84,7 @@ def _win_call(nv, ya, ca, pk, vol, interpret=False):
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_G, D, _WR, _WC),
+        out_specs=pl.BlockSpec((_G, D, _OR, _OC),
                                lambda i, *s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -89,7 +95,7 @@ def _win_call(nv, ya, ca, pk, vol, interpret=False):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F, D, _WR, _WC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, D, _OR, _OC), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -102,7 +108,7 @@ def extract_windows_pallas(vol: jnp.ndarray, cy: jnp.ndarray,
                            interpret: bool = False):
     """Extract [K, D, rows, cols] windows of ``vol`` (all layers) with
     the window origin at clip(c - radius, 0, limit), matching
-    extract_patches semantics. rows <= 17, cols <= 129.
+    extract_patches semantics. rows <= 16, cols <= 128.
 
     Returns (windows, y0, x0). Caller pads ``vol`` so every aligned
     [24, 256] block fits: Hb >= max(cy)+rows-radius+24, Wb multiple of

@@ -174,9 +174,17 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                                    cfg)
 
     # phase 3a: per-octave orientation histograms (window reads), one
-    # batched peak tail
+    # batched peak tail. The padded octave image is built ONCE and
+    # shared by the orientation and descriptor window-DMA kernels.
     def oct_slice(a, o):
         return a[offs[o]:offs[o + 1]]
+
+    from .ops.orientation import pad_for_window_kernels
+    from .ops.pallas.orient import ori_pallas_available
+    share_pad = ori_pallas_available()
+    padded = [pad_for_window_kernels(blur, *plan.pyramid.dims[o])
+              if share_pad else None
+              for o, blur in enumerate(blurs)]
 
     hists = []
     for octv, blur in enumerate(blurs):
@@ -185,7 +193,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
             s=oct_slice(g.s, octv), level=oct_slice(g.level, octv),
             sigma=oct_slice(g.sigma, octv), cell=oct_slice(g.cell, octv),
             valid=oct_slice(gvalid, octv))
-        hists.append(orientation_histograms(blur, ext_o, cfg))
+        hists.append(orientation_histograms(blur, ext_o, cfg,
+                                            padded=padded[octv]))
     oris = orientations_from_histograms(cat(hists), gvalid)
 
     # phase 3b: per-octave descriptor jobs + window-reading kernels;
@@ -203,7 +212,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
             num_ori=oct_slice(oris.num_ori, octv))
         jobs = make_descriptor_jobs(ext_o, oris_o, plan.job_caps[octv])
         raw_descs.append(compute_descriptors(blur, jobs, cfg,
-                                             chunk=desc_chunk))
+                                             chunk=desc_chunk,
+                                             padded=padded[octv]))
         job_kps.append(jobs.kp_index + offs[octv])
         job_valids.append(jobs.valid)
 

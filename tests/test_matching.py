@@ -87,3 +87,63 @@ def test_shifted_image_matches(small_image):
     acc = int(np.asarray(res.accept).sum())
     n = da.getDescriptorCount()
     assert acc > 0.5 * n, f"only {acc}/{n} matches on a shifted copy"
+
+
+def test_pruned_matcher_exact_when_shortlist_covers():
+    """shortlist >= R makes the cascade exact: identical accept set,
+    indices and distances to the exhaustive matcher."""
+    from popsift_tpu.ops.matching import (match_descriptors,
+                                          match_descriptors_pruned)
+    rng = np.random.default_rng(4)
+    L, R = 96, 80
+    dl = rng.normal(size=(L, 128)).astype(np.float32)
+    dr = rng.normal(size=(R, 128)).astype(np.float32)
+    dl /= np.linalg.norm(dl, axis=1, keepdims=True)
+    dr /= np.linalg.norm(dr, axis=1, keepdims=True)
+    vl = rng.random(L) < 0.9
+    vr = rng.random(R) < 0.9
+    want = match_descriptors(jnp.asarray(dl), jnp.asarray(vl),
+                             jnp.asarray(dr), jnp.asarray(vr))
+    got = match_descriptors_pruned(jnp.asarray(dl), jnp.asarray(vl),
+                                   jnp.asarray(dr), jnp.asarray(vr),
+                                   shortlist=R)
+    np.testing.assert_array_equal(np.asarray(got.accept),
+                                  np.asarray(want.accept))
+    acc = np.asarray(want.accept)
+    np.testing.assert_array_equal(np.asarray(got.best_idx)[acc],
+                                  np.asarray(want.best_idx)[acc])
+    np.testing.assert_allclose(np.asarray(got.best_dist)[acc],
+                               np.asarray(want.best_dist)[acc], rtol=1e-5)
+
+
+def test_pruned_matcher_recall_on_sift_like_sets():
+    """Recall >= 0.99 vs exhaustive on SIFT-like descriptor clouds
+    (correlated cluster structure — the regime PCA sketches exploit)."""
+    from popsift_tpu.ops.matching import (match_descriptors,
+                                          match_descriptors_pruned)
+    rng = np.random.default_rng(9)
+    L = R = 1024
+    # descriptor cloud with cluster structure + matched pairs
+    centers = rng.normal(size=(32, 128)).astype(np.float32)
+    dl = (centers[rng.integers(0, 32, L)]
+          + 0.35 * rng.normal(size=(L, 128))).astype(np.float32)
+    dl = np.abs(dl)   # SIFT descriptors are non-negative
+    dl /= np.linalg.norm(dl, axis=1, keepdims=True)
+    perm = rng.permutation(L)
+    dr = dl[perm] + 0.05 * rng.normal(size=(L, 128)).astype(np.float32)
+    dr = np.abs(dr)
+    dr /= np.linalg.norm(dr, axis=1, keepdims=True)
+    vl = np.ones(L, bool)
+    vr = np.ones(R, bool)
+
+    want = match_descriptors(jnp.asarray(dl), jnp.asarray(vl),
+                             jnp.asarray(dr), jnp.asarray(vr))
+    got = match_descriptors_pruned(jnp.asarray(dl), jnp.asarray(vl),
+                                   jnp.asarray(dr), jnp.asarray(vr),
+                                   sketch_dim=16, shortlist=64)
+    wa = np.asarray(want.accept)
+    ga = np.asarray(got.accept)
+    agree = (np.asarray(got.best_idx)[wa] ==
+             np.asarray(want.best_idx)[wa]) & ga[wa]
+    recall = agree.mean()
+    assert recall >= 0.99, f"recall {recall}"

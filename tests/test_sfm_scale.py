@@ -113,3 +113,41 @@ def test_sequence_reconstruction_scale():
     rel = abs(float(dist_costs[-1]) - float(single_costs[-1])) \
         / max(float(single_costs[-1]), 1e-9)
     assert rel < 0.01, (float(dist_costs[-1]), float(single_costs[-1]))
+
+
+@pytest.mark.slow
+def test_sequence_reconstruction_200_cams():
+    """Long-sequence scaling (round-2 verdict item 4): 200 cameras /
+    1200 points reconstruct with vectorized host bookkeeping (sparse
+    co-visibility seed search, incremental seen counts, batched
+    registration) inside a CI-friendly wall-clock budget, with the ATE
+    bound holding."""
+    import time
+    rng = np.random.default_rng(13)
+    n_cams, n_pts = 200, 1200
+    X, cams, kps, vis = make_sequence(rng, n_pts=n_pts, n_cams=n_cams,
+                                      noise=0.2)
+    tracks = tracks_from_vis(kps, vis)
+
+    t0 = time.time()
+    sfm = IncrementalSfM(tracks, INTR, ba_every=25, register_batch=8)
+    sfm.initialize()
+    while sfm.register_next() is not None:
+        pass
+    n_reg = len(sfm.rec.registered)
+    assert n_reg >= n_cams - 4, f"registered only {n_reg}/{n_cams}"
+    costs = sfm.global_ba(iters=8)
+    assert costs[-1] < costs[0]
+    wall = time.time() - t0
+
+    reg = sorted(sfm.rec.registered)
+    C_est = np.stack([-(sfm.rec.cam_R[i].T @ sfm.rec.cam_t[i])
+                      for i in reg])
+    C_gt = np.stack([-(cams[i][0].T @ cams[i][1]) for i in reg])
+    rmse = ate_rmse(C_est, C_gt)
+    # trajectory spans ~50 units; 1% bound as in the 40-cam test
+    assert rmse < 0.5, f"ATE {rmse}"
+    # wall-clock regression guard for the host driver (1-core CI box;
+    # the pre-vectorization driver took >30 min at this scale)
+    assert wall < 900, f"200-cam reconstruction took {wall:.0f}s"
+    print(f"200 cams: {n_reg} registered, ATE {rmse:.3f}, {wall:.0f}s")
