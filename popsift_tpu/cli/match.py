@@ -33,6 +33,11 @@ def build_parser():
     p.add_argument("--desc-mode", default="loop")
     p.add_argument("--ratio", type=float, default=0.8,
                    help="Lowe ratio on squared L2 (features.cu:223)")
+    p.add_argument("--max-print", type=int, default=50,
+                   help="cap on printed matches; <= 0 prints ALL "
+                        "accepted matches (the reference's "
+                        "show_distance prints every one, "
+                        "features.cu:228-263)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -81,9 +86,10 @@ def main(argv=None):
     r_kp = np.asarray(dev_r.raw.desc_kp)
     lx, ly = np.asarray(dev_l.raw.x), np.asarray(dev_l.raw.y)
     rx, ry = np.asarray(dev_r.raw.x), np.asarray(dev_r.raw.y)
+    limit = args.max_print if args.max_print > 0 else len(valid_rows)
     shown = 0
     for row in valid_rows:
-        if not acc[row] or shown >= 50:
+        if not acc[row] or shown >= limit:
             continue
         lk, rk = l_kp[row], r_kp[bi[row]]
         print(f"desc {row}: ({lx[lk]:.2f},{ly[lk]:.2f}) -> "

@@ -449,17 +449,28 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
         if use_pallas is None:
             use_pallas = desc_pallas_available() and y_bounds is None
         if use_pallas and radius <= 51:
-            from .pallas.desc import descriptor_loop_pallas_dma
+            from .pallas.desc import (descriptor_loop_pallas_bucketed,
+                                      descriptor_loop_pallas_dma)
 
-            # padded so every aligned 112x256 DMA window fits; extra
-            # rows/cols lie beyond the descriptor support (L2 norm >
-            # 2.5*sqrt(2)) and get zero tile weight. The padded buffer
-            # is shared with the orientation kernel when the pipeline
-            # provides it (pad_for_window_kernels).
+            # padded so every aligned DMA window fits; extra rows/cols
+            # lie beyond the descriptor support (L2 norm > 2.5*sqrt(2))
+            # and get zero tile weight. The padded buffer is shared
+            # with the orientation kernel when the pipeline provides it
+            # (pad_for_window_kernels).
             H, W = hw
             if padded is None:
                 from .orientation import pad_for_window_kernels
                 padded = pad_for_window_kernels(blur, H, W)
+            # sigma bucketing: level <= 2 keypoints (the bulk) take the
+            # small-window kernel instance
+            sigma_split = cfg.sigma * 2.0 ** (2.5 / cfg.levels)
+            radius_small = int(
+                math.ceil(2.5 * math.sqrt(2.0)
+                          * DESC_MAGNIFY * sigma_split)) + 2
+            if radius > radius_small + 8:
+                return descriptor_loop_pallas_bucketed(
+                    padded, jobs, radius, sigma_split, radius_small,
+                    H, W)
             return descriptor_loop_pallas_dma(padded, jobs, radius, H, W)
 
         def body_fn(j):

@@ -142,8 +142,17 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
     if use_pallas is None:
         use_pallas = ori_pallas_available() and y_bounds is None
     if use_pallas and R <= 26:
+        from .pallas.orient import orientation_hist_pallas_bucketed
+
         img2 = padded if padded is not None else \
             pad_for_window_kernels(blur, H, W)
+        # radius bucketing: level <= 2 keypoints (the bulk) take the
+        # small-window kernel instance (same scheme as descriptors)
+        sigma_split = cfg.sigma * 2.0 ** (2.5 / cfg.levels)
+        radius_small = int(round(3.0 * ORI_WINFACTOR * sigma_split))
+        if R > radius_small + 6:
+            return orientation_hist_pallas_bucketed(
+                img2, ext, R, sigma_split, radius_small, H, W)
         return orientation_hist_pallas(img2, ext, R, H, W)
     return _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
 

@@ -214,7 +214,8 @@ _WC = 256   # DMA window cols (128 patch cols + 128-lane alignment slack)
 
 
 def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
-                     blur_hbm, out_ref, scratch, sems, *, P, PL, H, W):
+                     blur_hbm, out_ref, scratch, sems, *, P, PL, H, W,
+                     WR=None):
     """DMA variant: patches are pulled straight from the blur stack.
 
     nv: i32[1] count of valid (front-packed) jobs — grid blocks whose
@@ -226,6 +227,7 @@ def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
     f32[2, G, WR, WC] double-buffered windows.
     """
     G = _G
+    WR = _WR if WR is None else WR
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -239,7 +241,7 @@ def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
         y0a = pl.multiple_of(ya_ref[j], 8)
         c0a = pl.multiple_of(ca_ref[j], 128)
         return pltpu.make_async_copy(
-            blur_hbm.at[lv_ref[j], pl.ds(y0a, _WR), pl.ds(c0a, _WC)],
+            blur_hbm.at[lv_ref[j], pl.ds(y0a, WR), pl.ds(c0a, _WC)],
             scratch.at[to_slot, g],
             sems.at[to_slot, g])
 
@@ -261,7 +263,7 @@ def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
             pk = pk_ref[i * G + g]
             ry = jax.lax.div(pk, 256)
             rx = jax.lax.rem(pk, 256)
-            w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 0),
+            w = pltpu.roll(pltpu.roll(scratch[slot, g], WR - ry, 0),
                            _WC - rx, 1)
             patches.append(w[:P, :PL])
         patch = jnp.stack(patches)              # [G, P, PL]
@@ -273,12 +275,13 @@ def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("P", "PL", "H", "W", "interpret"))
+                   static_argnames=("P", "PL", "H", "W", "WR", "interpret"))
 def _desc_dma_call(nv, lv, ya, ca, pk, params, blur, P, PL, H, W,
-                   interpret=False):
+                   WR=_WR, interpret=False):
     F = params.shape[0]
     grid = (F // _G,)
-    kernel = functools.partial(_desc_dma_kernel, P=P, PL=PL, H=H, W=W)
+    kernel = functools.partial(_desc_dma_kernel, P=P, PL=PL, H=H, W=W,
+                               WR=WR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
@@ -290,7 +293,7 @@ def _desc_dma_call(nv, lv, ya, ca, pk, params, blur, P, PL, H, W,
         out_specs=pl.BlockSpec((_G, DESC_BINS, 16), lambda i, *s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _G, _WR, _WC), jnp.float32),
+            pltpu.VMEM((2, _G, WR, _WC), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _G)),
         ],
     )
@@ -311,17 +314,21 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
     materialized [F, P, PL] patch array and its second HBM pass.
 
     blur: f32[L, Hb, Wb]; the caller must edge-pad so every aligned
-    window fits (see compute_descriptors). Patch geometry: P=104 rows x
-    PL=128 cols around each keypoint (radius <= 51).
+    window fits (see compute_descriptors). Patch geometry: P rows
+    (sized to ``radius``, max 104) x PL=128 cols around each keypoint
+    (radius <= 51). Per-job VPU cost scales with P, which is why the
+    caller buckets jobs by sigma (descriptor_loop_pallas_bucketed).
     """
     L, Hb, Wb = blur.shape
-    P, PL = 104, 128
+    P = min(-(-(2 * radius + 2) // 8) * 8, 104)
+    PL = 128
+    WR = P + 8
     F = jobs.x.shape[0]
     pad = (-F) % _G
 
     xr = jnp.round(jobs.x).astype(jnp.int32)
     yr = jnp.round(jobs.y).astype(jnp.int32)
-    y0 = jnp.clip(yr - radius, 0, Hb - _WR)
+    y0 = jnp.clip(yr - radius, 0, Hb - WR)
     x0 = jnp.clip(xr - radius, 0, Wb - _WC)
     y0a = (y0 // 8) * 8
     c0a = (x0 // 128) * 128
@@ -339,10 +346,52 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
     nv = jobs.count.astype(jnp.int32).reshape(1)
     out = _desc_dma_call(nv, lv, y0a.astype(jnp.int32),
                          c0a.astype(jnp.int32), pk, params, blur,
-                         P, PL, H, W, interpret=interpret)
+                         P, PL, H, W, WR=WR, interpret=interpret)
     # [b, (ty, tx)] -> (ty, tx, b) flat 128
     out = out.reshape(-1, DESC_BINS, 4, 4).transpose(0, 2, 3, 1)
     return out.reshape(-1, 128)[:F]
+
+
+def descriptor_loop_pallas_bucketed(blur, jobs, radius, sigma_split,
+                                    radius_small, H, W,
+                                    interpret: bool = False):
+    """Sigma-bucketed descriptor extraction: jobs with
+    sigma <= sigma_split run through a small-window kernel instance
+    (P ~ 72 rows instead of 104), the rest through the full-window one.
+
+    Per-job VPU cost scales with the static patch rows P, but most
+    keypoints sit at low levels (small sigma) — the reference's loop
+    variant gets the same effect from its data-dependent bbox
+    (s_desc_loop.cu:58-91), which static shapes cannot express; two
+    kernel instances with front-packed job lists recover most of it
+    (the kernels skip grid blocks past their job count, so compute
+    follows the actual bucket sizes, not the padded capacity).
+    """
+    F = jobs.x.shape[0]
+    small = jobs.valid & (jobs.sigma <= sigma_split)
+    large = jobs.valid & ~small
+
+    def bucket(mask):
+        n = jnp.sum(mask, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(mask, size=F, fill_value=0)
+        sel = lambda a: a[idx]
+        from ..descriptors import DescriptorJobs
+        return DescriptorJobs(
+            x=sel(jobs.x), y=sel(jobs.y), sigma=sel(jobs.sigma),
+            level=sel(jobs.level), ang=sel(jobs.ang),
+            kp_index=sel(jobs.kp_index),
+            valid=jnp.arange(F, dtype=jnp.int32) < n, count=n)
+
+    out_s = descriptor_loop_pallas_dma(blur, bucket(small), radius_small,
+                                       H, W, interpret=interpret)
+    out_l = descriptor_loop_pallas_dma(blur, bucket(large), radius,
+                                       H, W, interpret=interpret)
+    # gather back to original row order (ranks within each bucket)
+    rs = jnp.cumsum(small.astype(jnp.int32)) - 1
+    rl = jnp.cumsum(large.astype(jnp.int32)) - 1
+    src = jnp.where(small, rs, F + rl)
+    out = jnp.concatenate([out_s, out_l], axis=0)[src]
+    return jnp.where(jobs.valid[:, None], out, 0.0)
 
 
 def desc_pallas_available() -> bool:

@@ -35,12 +35,13 @@ _PL = 128   # patch cols
 
 
 def _ori_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
-                blur_hbm, out_ref, scratch, sems, *, H, W):
+                blur_hbm, out_ref, scratch, sems, *, H, W, P=_P,
+                WR=_WR):
     """par_ref f32[G, 8]: (x, y, sigma, valid, y0, x0, xr, yr).
     nv_ref: i32[1] count of front-packed candidate rows — blocks fully
     past it skip DMA and math."""
     G = _G
-    P, PL = _P, _PL
+    PL = _PL
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -54,7 +55,7 @@ def _ori_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
         y0a = pl.multiple_of(ya_ref[j], 8)
         c0a = pl.multiple_of(ca_ref[j], 128)
         return pltpu.make_async_copy(
-            blur_hbm.at[lv_ref[j], pl.ds(y0a, _WR), pl.ds(c0a, _WC)],
+            blur_hbm.at[lv_ref[j], pl.ds(y0a, WR), pl.ds(c0a, _WC)],
             scratch.at[to_slot, g],
             sems.at[to_slot, g])
 
@@ -75,11 +76,11 @@ def _ori_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
     @pl.when(active(i))
     def _():
         _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
-                  P=P, PL=PL, H=H, W=W)
+                  P=P, PL=PL, H=H, W=W, WR=WR)
 
 
 def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
-              *, P, PL, H, W):
+              *, P, PL, H, W, WR=_WR):
     G = _G
     patches = []
     for g in range(G):
@@ -87,7 +88,7 @@ def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
         pk = pk_ref[i * G + g]
         ry = jax.lax.div(pk, 256)
         rx = jax.lax.rem(pk, 256)
-        w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 0),
+        w = pltpu.roll(pltpu.roll(scratch[slot, g], WR - ry, 0),
                        _WC - rx, 1)
         patches.append(w[:P, :PL])
     patch = jnp.stack(patches)                  # [G, P, PL]
@@ -142,11 +143,13 @@ def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
         out_ref[g, :] = jnp.stack(h)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _ori_call(nv, lv, ya, ca, pk, params, blur, H, W, interpret=False):
+@functools.partial(jax.jit, static_argnames=("H", "W", "P", "WR",
+                                             "interpret"))
+def _ori_call(nv, lv, ya, ca, pk, params, blur, H, W, P=_P, WR=_WR,
+              interpret=False):
     F = params.shape[0]
     grid = (F // _G,)
-    kernel = functools.partial(_ori_kernel, H=H, W=W)
+    kernel = functools.partial(_ori_kernel, H=H, W=W, P=P, WR=WR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
@@ -158,7 +161,7 @@ def _ori_call(nv, lv, ya, ca, pk, params, blur, H, W, interpret=False):
         out_specs=pl.BlockSpec((_G, ORI_NBINS), lambda i, *s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _G, _WR, _WC), jnp.float32),
+            pltpu.VMEM((2, _G, WR, _WC), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _G)),
         ],
     )
@@ -182,10 +185,14 @@ def orientation_hist_pallas(blur, ext, radius: int, H, W,
     L, Hb, Wb = blur.shape
     K = ext.x.shape[0]
     pad = (-K) % _G
+    # patch rows sized to the radius: per-keypoint VPU cost scales with
+    # P, so bucketed callers pass a tighter radius for small-sigma rows
+    P = min(-(-(2 * radius + 3) // 8) * 8, _P)
+    WR = P + 8
 
     xr = jnp.round(ext.x).astype(jnp.int32)
     yr = jnp.round(ext.y).astype(jnp.int32)
-    y0 = jnp.clip(yr - (radius + 1), 0, Hb - _WR)
+    y0 = jnp.clip(yr - (radius + 1), 0, Hb - WR)
     x0 = jnp.clip(xr - (radius + 1), 0, Wb - _WC)
     y0a = (y0 // 8) * 8
     c0a = (x0 // 128) * 128
@@ -203,7 +210,7 @@ def orientation_hist_pallas(blur, ext, radius: int, H, W,
     nv = ext.n_candidates.astype(jnp.int32).reshape(1)
     out = _ori_call(nv, lv, y0a.astype(jnp.int32),
                     c0a.astype(jnp.int32), pk, params, blur, H, W,
-                    interpret=interpret)
+                    P=P, WR=WR, interpret=interpret)
     return out[:K]
 
 
@@ -212,3 +219,39 @@ def ori_pallas_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def orientation_hist_pallas_bucketed(blur, ext, radius, sigma_split,
+                                     radius_small, H, W,
+                                     interpret: bool = False):
+    """Radius-bucketed orientation histograms: rows with
+    sigma <= sigma_split (the bulk — low pyramid levels) run through a
+    small-window kernel instance, the rest through the full-radius one.
+    Per-keypoint VPU cost scales with the static patch rows, and the
+    kernels skip grid blocks past their bucket count, so compute
+    follows the actual bucket sizes. Same split/gather-back scheme as
+    descriptor_loop_pallas_bucketed."""
+    K = ext.x.shape[0]
+    small = ext.valid & (ext.sigma <= sigma_split)
+    large = ext.valid & ~small
+
+    def bucket(mask):
+        n = jnp.sum(mask, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(mask, size=K, fill_value=0)
+        sel = lambda a: a[idx]
+        return ext._replace(
+            x=sel(ext.x), y=sel(ext.y), s=sel(ext.s),
+            level=sel(ext.level), sigma=sel(ext.sigma),
+            cell=sel(ext.cell),
+            valid=jnp.arange(K, dtype=jnp.int32) < n,
+            n_candidates=n)
+
+    h_s = orientation_hist_pallas(blur, bucket(small), radius_small,
+                                  H, W, interpret=interpret)
+    h_l = orientation_hist_pallas(blur, bucket(large), radius,
+                                  H, W, interpret=interpret)
+    rs = jnp.cumsum(small.astype(jnp.int32)) - 1
+    rl = jnp.cumsum(large.astype(jnp.int32)) - 1
+    src = jnp.where(small, rs, K + rl)
+    out = jnp.concatenate([h_s, h_l], axis=0)[src]
+    return jnp.where(ext.valid[:, None], out, 0.0)

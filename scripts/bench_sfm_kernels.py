@@ -48,6 +48,26 @@ def main():
         "unit": "ms", "tflops": round(flops / dt / 1e12, 2),
         "pairs_per_s": round(1.0 / dt, 1)})
 
+    # --- pruned matching: 16-d PCA sketch prefilter + exact shortlist
+    from popsift_tpu.ops.matching import match_descriptors_pruned
+    fnp = jax.jit(lambda a, b: match_descriptors_pruned(
+        a, vl, b, vr).best_dist)
+    np.asarray(fnp(dl, dr))
+    t0 = time.perf_counter()
+    outs = [fnp(dl + i * 1e-30, dr) for i in range(reps)]
+    [np.asarray(o) for o in outs]
+    dtp = (time.perf_counter() - t0) / reps
+    # recall vs the exact matcher on this workload
+    exact = np.asarray(jax.jit(lambda a, b: match_descriptors(
+        a, vl, b, vr).best_idx)(dl, dr))
+    pruned = np.asarray(jax.jit(lambda a, b: match_descriptors_pruned(
+        a, vl, b, vr).best_idx)(dl, dr))
+    results.append({
+        "metric": "match_16k_x_16k_pruned", "value": round(dtp * 1000, 2),
+        "unit": "ms", "speedup_vs_exact": round(dt / dtp, 2),
+        "nn_recall_vs_exact": round(float((exact == pruned).mean()), 4),
+        "pairs_per_s": round(1.0 / dtp, 1)})
+
     # --- BA: one damped GN step, 100 cams / 40k points / 200k obs -----
     rng = np.random.default_rng(0)
     nc, npts, nobs = 100, 40_000, 200_000

@@ -155,3 +155,88 @@ def test_window_extractor_matches_gather(rng):
     for k in range(K):
         ref = vp[:, int(y0[k]):int(y0[k]) + P, int(x0[k]):int(x0[k]) + P]
         np.testing.assert_array_equal(got[k], ref)
+
+
+def test_desc_dma_bucketed_matches_chunk(rng):
+    """Sigma-bucketed two-instance kernel path == the XLA loop chunk on
+    a job mix straddling the sigma split (small and large windows)."""
+    import math
+    from popsift_tpu.config import DESC_MAGNIFY
+    from popsift_tpu.ops.pallas.desc import descriptor_loop_pallas_bucketed
+    cfg = SiftConfig()
+    H, W = 96, 128
+    L = cfg.total_levels
+    blur = jnp.asarray(
+        rng.normal(64, 32, size=(L, H, W)).astype(np.float32))
+    radius = loop_patch_radius(cfg)
+    img = pad_for_patches(blur, 2 * radius + 1)
+    jobs = _jobs(rng, 16, H, W, cfg)
+    # push half the jobs above the split so both kernel instances run
+    sigma_split = cfg.sigma * 2.0 ** (2.5 / cfg.levels)
+    sig = np.asarray(jobs.sigma).copy()
+    sig[::2] = rng.uniform(sigma_split + 0.2, 4.4,
+                           len(sig[::2])).astype(np.float32)
+    jobs = jobs._replace(sigma=jnp.asarray(sig))
+    radius_small = int(math.ceil(2.5 * math.sqrt(2.0)
+                                 * DESC_MAGNIFY * sigma_split)) + 2
+
+    want = np.asarray(_descriptor_loop_chunk(img, (H, W), jobs, radius))
+
+    Hp = max(-(-(H + 64) // 8) * 8, 112)
+    Wp = max(-(-(W + 240) // 128) * 128, 256)
+    img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+    got = np.asarray(descriptor_loop_pallas_bucketed(
+        img2, jobs, radius, sigma_split, radius_small, H, W,
+        interpret=True))
+
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0))
+    assert np.abs(got[-1]).max() == 0.0
+
+
+def test_orientation_hist_bucketed_matches_xla(rng):
+    """Radius-bucketed orientation kernel == XLA path on a sigma mix
+    straddling the bucket split."""
+    from popsift_tpu.ops.extrema import OctaveExtrema
+    from popsift_tpu.ops.orientation import (_orientation_hist_xla,
+                                             max_ori_radius)
+    from popsift_tpu.ops.pallas.orient import (
+        orientation_hist_pallas_bucketed)
+    from popsift_tpu.config import ORI_WINFACTOR
+
+    cfg = SiftConfig()
+    H, W = 96, 160
+    L = cfg.total_levels
+    blur = jnp.asarray(
+        rng.normal(96, 40, size=(L, H, W)).astype(np.float32))
+    K = 16
+    valid = np.ones(K, bool)
+    valid[-2:] = False
+    sigma_split = cfg.sigma * 2.0 ** (2.5 / cfg.levels)
+    sig = rng.uniform(1.2, 2.6, K).astype(np.float32)
+    sig[::2] = rng.uniform(sigma_split + 0.2, 4.8,
+                           len(sig[::2])).astype(np.float32)
+    ext = OctaveExtrema(
+        x=jnp.asarray(rng.uniform(3, W - 3, K).astype(np.float32)),
+        y=jnp.asarray(rng.uniform(3, H - 3, K).astype(np.float32)),
+        s=jnp.zeros(K, jnp.float32),
+        level=jnp.asarray(rng.integers(0, 3, K).astype(np.int32)),
+        sigma=jnp.asarray(sig),
+        cell=jnp.zeros(K, jnp.int32),
+        valid=jnp.asarray(valid),
+        count=jnp.int32(K - 2),
+        n_candidates=jnp.int32(K),
+        n_dropped=jnp.int32(0))
+
+    R = max_ori_radius(cfg)
+    radius_small = int(round(3.0 * ORI_WINFACTOR * sigma_split))
+    want = np.array(_orientation_hist_xla(blur, ext, cfg, R))
+    want[~valid] = 0.0
+
+    Hp = max(-(-(H + 64) // 8) * 8, 112)
+    Wp = max(-(-(W + 240) // 128) * 128, 256)
+    img2 = jnp.pad(blur, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+    got = np.asarray(orientation_hist_pallas_bucketed(
+        img2, ext, R, sigma_split, radius_small, H, W, interpret=True))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=3e-5 * scale)
