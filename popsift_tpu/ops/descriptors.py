@@ -409,10 +409,11 @@ def _descriptor_loop_chunk(img: jnp.ndarray, orig_hw, jobs: DescriptorJobs,
     return jnp.where(zero[:, None], 0.0, desc)
 
 
-def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
+def compute_descriptors(blur: jnp.ndarray | None, jobs: DescriptorJobs,
                         cfg: SiftConfig, chunk: int = 1024,
                         use_pallas: bool | None = None,
-                        y_bounds=None, padded=None) -> jnp.ndarray:
+                        y_bounds=None, padded=None,
+                        dims: tuple | None = None) -> jnp.ndarray:
     """Unnormalized descriptors f32[F, 128].
 
     Variant dispatch (DescMode, sift_conf.h:59-65), each name mapping to
@@ -443,8 +444,7 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
         from .pallas.desc import desc_pallas_available, descriptor_loop_pallas
 
         radius = loop_patch_radius(cfg)
-        img = pad_for_patches(blur, 2 * radius + 1)
-        hw = blur.shape[-2:]
+        hw = dims if blur is None else blur.shape[-2:]
 
         if use_pallas is None:
             use_pallas = desc_pallas_available() and y_bounds is None
@@ -472,6 +472,8 @@ def compute_descriptors(blur: jnp.ndarray, jobs: DescriptorJobs,
                     padded, jobs, radius, sigma_split, radius_small,
                     H, W)
             return descriptor_loop_pallas_dma(padded, jobs, radius, H, W)
+
+        img = pad_for_patches(blur, 2 * radius + 1)
 
         def body_fn(j):
             return _descriptor_loop_chunk(img, hw, j, radius,

@@ -72,18 +72,38 @@ def _first_threshold(cfg: SiftConfig) -> float:
 
 
 def _candidate_mask(dog: jnp.ndarray, cfg: SiftConfig,
-                    use_pallas: bool | None = None) -> jnp.ndarray:
+                    use_pallas: bool | None = None,
+                    canvas: jnp.ndarray | None = None,
+                    dims: tuple | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
     """Dense mask of pixels passing contrast + strict 26-neighbor test.
 
     Layers z = 1 .. total_levels-3 are searched (grid.z = levels-3 with
     level = block_z + 1, s_extrema.cu:329-334). Edge-replication padding
     reproduces the clamped-texture behavior that silently excludes the
     outermost pixels (val > val is false). On TPU the stencil runs as a
-    Pallas kernel (one VMEM pass instead of 26 HBM read streams).
+    Pallas kernel (one VMEM pass instead of 26 HBM read streams); when
+    the pipeline provides the shared halo-padded DoG ``canvas``
+    (pyramid.assemble_dog_canvas, ``dims=(H, W)``), the kernel reads it
+    directly and no per-consumer edge-pad copy exists at all.
     """
-    from .pallas.extrema_mask import candidate_mask_pallas, mask_pallas_available
+    from .pallas.extrema_mask import (candidate_mask_canvas_pallas,
+                                      candidate_mask_pallas,
+                                      mask_pallas_available)
 
     Z = cfg.total_levels - 3
+    if canvas is not None:
+        H, W = dims
+        mask = candidate_mask_canvas_pallas(
+            canvas[:Z + 2], H, W, float(_first_threshold(cfg)),
+            interpret=bool(interpret))
+        if cfg.sift_mode == "opencv":
+            ys = jnp.arange(H)
+            xs = jnp.arange(W)
+            border = ((xs < 5) | (xs >= W - 5))[None, None, :] | \
+                     ((ys < 5) | (ys >= H - 5))[None, :, None]
+            mask = mask & ~border
+        return mask
     D, H, W = dog.shape
     thr1 = np.float32(_first_threshold(cfg))
 
@@ -264,8 +284,11 @@ class CandidateSet(NamedTuple):
     n_dropped: jnp.ndarray  # i32[]
 
 
-def collect_candidates(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
-                       row_window: tuple | None = None) -> CandidateSet:
+def collect_candidates(dog: jnp.ndarray | None, cfg: SiftConfig,
+                       capacity: int, row_window: tuple | None = None,
+                       canvas: jnp.ndarray | None = None,
+                       dims: tuple | None = None,
+                       interpret: bool = False) -> CandidateSet:
     """Mask + compact + window-extract for one octave's DoG stack.
 
     This is the only part of detection whose array shapes depend on the
@@ -274,7 +297,42 @@ def collect_candidates(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
     the per-octave unrolled refinement was pure op-dispatch overhead
     (~hundreds of small fused ops per frame), so the pipeline
     concatenates all octaves' CandidateSets and refines once.
+
+    ``canvas`` (+ ``dims=(H, W)``): the shared halo-padded DoG canvas
+    (pyramid.assemble_dog_canvas). Both the mask stencil and the
+    refinement window extractor then read the canvas in place —
+    detection does zero padding copies. The zero (non-edge-replicated)
+    halo is safe: the refinement's one-hot neighborhood reads only
+    pixels in [0, H-1]x[0, W-1] (the step policy clamps moves to
+    [1, H-2], s_extrema.cu:258-284, and candidates start off-border).
     """
+    if canvas is not None:
+        from .pyramid import DOG_OY, DOG_OX
+        H, W = dims
+        D = canvas.shape[0]
+        mask = _candidate_mask(None, cfg, canvas=canvas, dims=dims,
+                               interpret=interpret)
+        if row_window is not None:
+            lo, hi = row_window
+            rows = jnp.arange(H, dtype=jnp.int32)
+            mask = mask & ((rows >= lo) & (rows < hi))[None, :, None]
+        idx, n_found, n_dropped = _compact_mask(
+            mask.reshape(-1), capacity, block_k=cfg.compact_block_k)
+        cand_valid = jnp.arange(capacity, dtype=jnp.int32) < n_found
+        z0 = (idx // (H * W)).astype(jnp.int32) + 1
+        rem = idx % (H * W)
+        y0 = (rem // W).astype(jnp.int32)
+        x0 = (rem % W).astype(jnp.int32)
+        R = MAX_ITERATIONS
+        P = 2 * R + 1
+        from .pallas.window import extract_windows_pallas
+        patches, _, _ = extract_windows_pallas(
+            canvas, y0 + DOG_OY, x0 + DOG_OX, R, P, P, n_valid=n_found,
+            interpret=interpret)
+        return CandidateSet(patches=patches, x0=x0, y0=y0, z0=z0,
+                            valid=cand_valid, n_found=n_found,
+                            n_dropped=n_dropped)
+
     D, H, W = dog.shape
     mask = _candidate_mask(dog, cfg)
     if row_window is not None:
@@ -317,6 +375,63 @@ def collect_candidates(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,
             return jax.lax.dynamic_slice(dogp, (0, y, x), (D, P, P))
 
         patches = jax.vmap(one_patch)(y0, x0)  # [K, D, P, P]
+    return CandidateSet(patches=patches, x0=x0, y0=y0, z0=z0,
+                        valid=cand_valid, n_found=n_found,
+                        n_dropped=n_dropped)
+
+
+def collect_candidates_batched(canvas: jnp.ndarray, F: int,
+                               cfg: SiftConfig, capacity: int,
+                               dims: tuple,
+                               interpret: bool = False) -> CandidateSet:
+    """Frame-batched canvas collection: one mask-kernel launch and one
+    window-DMA launch for F frames' DoG canvases (stacked on the layer
+    axis, f32[F*(L-1), Hd, Wd]).
+
+    Returns a CandidateSet whose row arrays are [F, capacity] and whose
+    counts are per-frame i32[F]; patches are [F*capacity, D, P, P] in
+    frame-major order. Per-128-job-block activity masks preserve the
+    skip-empty-blocks DMA optimization across the concatenated
+    per-frame segments.
+    """
+    from .pallas.extrema_mask import candidate_mask_canvas_batched
+    from .pallas.window import _G, extract_windows_pallas_batched
+    from .pyramid import DOG_OX, DOG_OY
+
+    H, W = dims
+    D = canvas.shape[0] // F
+    thr1 = np.float32(_first_threshold(cfg))
+    mask = candidate_mask_canvas_batched(canvas, F, H, W, float(thr1),
+                                         interpret=interpret)
+    if cfg.sift_mode == "opencv":
+        ys = jnp.arange(H)
+        xs = jnp.arange(W)
+        border = ((xs < 5) | (xs >= W - 5))[None, None, :] | \
+                 ((ys < 5) | (ys >= H - 5))[None, :, None]
+        mask = mask & ~border[None]
+
+    idx, n_found, n_dropped = jax.vmap(
+        lambda m: _compact_mask(m, capacity,
+                                block_k=cfg.compact_block_k))(
+        mask.reshape(F, -1))                      # [F, cap], [F], [F]
+    cand_valid = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
+                  < n_found[:, None])
+    z0 = (idx // (H * W)).astype(jnp.int32) + 1
+    rem = idx % (H * W)
+    y0 = (rem // W).astype(jnp.int32)
+    x0 = (rem % W).astype(jnp.int32)
+
+    R = MAX_ITERATIONS
+    P = 2 * R + 1
+    zb = jnp.broadcast_to(
+        (jnp.arange(F, dtype=jnp.int32) * D)[:, None], (F, capacity))
+    nblk = capacity // _G
+    ba = (jnp.arange(nblk, dtype=jnp.int32)[None, :] * _G
+          < n_found[:, None]).reshape(-1)
+    patches = extract_windows_pallas_batched(
+        canvas, zb.reshape(-1), (y0 + DOG_OY).reshape(-1),
+        (x0 + DOG_OX).reshape(-1), R, P, P, D, block_valid=ba,
+        interpret=interpret)
     return CandidateSet(patches=patches, x0=x0, y0=y0, z0=z0,
                         valid=cand_valid, n_found=n_found,
                         n_dropped=n_dropped)

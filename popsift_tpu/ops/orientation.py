@@ -123,7 +123,8 @@ def pad_for_window_kernels(blur: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
                            cfg: SiftConfig,
                            use_pallas: bool | None = None,
-                           y_bounds=None, padded=None) -> jnp.ndarray:
+                           y_bounds=None, padded=None,
+                           dims: tuple | None = None) -> jnp.ndarray:
     """Raw 36-bin gradient histograms f32[K, 36] for one octave's
     (padded) extrema — the only orientation phase that reads the octave
     image; the peak-finding tail (:func:`orientations_from_histograms`)
@@ -137,7 +138,14 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
     """
     from .pallas.orient import orientation_hist_pallas, ori_pallas_available
 
-    L, H, W = blur.shape
+    if blur is None:
+        # canvas-only pipeline path: padded is the shared gauss canvas
+        # (pyramid.assemble_gauss_canvas) and dims carries the true
+        # octave size — the Pallas kernels mask out-of-image samples
+        # in-kernel, so no dense unpadded stack need exist.
+        H, W = dims
+    else:
+        _, H, W = blur.shape
     R = max_ori_radius(cfg)
     if use_pallas is None:
         use_pallas = ori_pallas_available() and y_bounds is None

@@ -138,3 +138,115 @@ def window_pallas_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# frame-batched variant: jobs from F frames against a [F*D, Hb, Wb]
+# volume (frames stacked on the layer axis); per-job layer base selects
+# the frame, and a per-block activity mask (computed from the per-frame
+# front-packed counts) preserves the skip-empty-blocks optimization that
+# a single global count cannot express for concatenated segments.
+# ---------------------------------------------------------------------------
+
+def _win_kernel_b(ba_ref, zb_ref, ya_ref, ca_ref, pk_ref, vol_hbm,
+                  out_ref, scratch, sems, *, D):
+    G = _G
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def active(step):
+        return ba_ref[step] > 0
+
+    def dma(step, to_slot, g):
+        j = step * G + g
+        y0a = pl.multiple_of(ya_ref[j], 8)
+        c0a = pl.multiple_of(ca_ref[j], 128)
+        return pltpu.make_async_copy(
+            vol_hbm.at[pl.ds(zb_ref[j], D), pl.ds(y0a, _WR),
+                       pl.ds(c0a, _WC)],
+            scratch.at[to_slot, g],
+            sems.at[to_slot, g])
+
+    @pl.when((i == 0) & active(0))
+    def _():
+        for g in range(G):
+            dma(0, 0, g).start()
+
+    @pl.when((i + 1 < n) & active(i + 1))
+    def _():
+        for g in range(G):
+            dma(i + 1, jax.lax.rem(i + 1, 2), g).start()
+
+    @pl.when(active(i))
+    def _():
+        for g in range(G):
+            dma(i, slot, g).wait()
+            pk = pk_ref[i * G + g]
+            ry = jax.lax.div(pk, 256)
+            rx = jax.lax.rem(pk, 256)
+            w = pltpu.roll(pltpu.roll(scratch[slot, g], _WR - ry, 1),
+                           _WC - rx, 2)
+            out_ref[g] = w[:, :_OR, :_OC]
+
+    @pl.when(jnp.logical_not(active(i)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "interpret"))
+def _win_call_b(ba, zb, ya, ca, pk, vol, D, interpret=False):
+    F = ya.shape[0]
+    grid = (F // _G,)
+    kernel = functools.partial(_win_kernel_b, D=D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((_G, D, _OR, _OC),
+                               lambda i, *s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _G, D, _WR, _WC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _G)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, D, _OR, _OC), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ba, zb, ya, ca, pk, vol)
+
+
+def extract_windows_pallas_batched(vol: jnp.ndarray, zbase: jnp.ndarray,
+                                   cy: jnp.ndarray, cx: jnp.ndarray,
+                                   radius: int, rows: int, cols: int,
+                                   D: int, block_valid=None,
+                                   interpret: bool = False):
+    """Like :func:`extract_windows_pallas` for jobs spanning F frames.
+
+    vol: f32[F*D, Hb, Wb]; zbase: i32[K] per-job first layer (f*D);
+    block_valid: bool/int[K // 8] per-block activity (a block with no
+    valid job skips its DMAs). Returns windows f32[K, D, rows, cols].
+    """
+    _, Hb, Wb = vol.shape
+    K = cy.shape[0]
+    pad = (-K) % _G
+    y0 = jnp.clip(cy - radius, 0, Hb - _WR)
+    x0 = jnp.clip(cx - radius, 0, Wb - _WC)
+    y0a = (y0 // 8) * 8
+    c0a = (x0 // 128) * 128
+    pk = ((y0 - y0a) * 256 + (x0 - c0a)).astype(jnp.int32)
+    args = [a.astype(jnp.int32) for a in (zbase, y0a, c0a, pk)]
+    if pad:
+        args = [jnp.pad(a, (0, pad)) for a in args]
+    nblk = (K + pad) // _G
+    if block_valid is None:
+        ba = jnp.ones((nblk,), jnp.int32)
+    else:
+        ba = block_valid.astype(jnp.int32)
+    out = _win_call_b(ba, *args, vol, D, interpret=interpret)
+    return out[:K, :, :rows, :cols]

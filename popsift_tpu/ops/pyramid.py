@@ -372,6 +372,22 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
     is 0.4 ms vs the kernel's 0.7 ms (XLA fuses the shift-add chain
     well), and the kernel does not support an outer vmap over images.
     """
+    blurs = []
+    dogs = []
+    for levels, dog_layers in build_pyramid_octaves(img_u8, plan,
+                                                    use_pallas=use_pallas):
+        blurs.append(jnp.stack(levels))
+        dogs.append(jnp.stack(dog_layers))
+    return tuple(blurs), tuple(dogs)
+
+
+def build_pyramid_octaves(img_u8: jnp.ndarray, plan: PyramidPlan,
+                          use_pallas: bool | None = None):
+    """Per-octave level generation: yields ``(levels, dog_layers)``
+    lists of 2-D arrays per octave. :func:`build_pyramid` stacks them
+    into the dense per-octave arrays; the TPU pipeline instead writes
+    them straight into halo-padded canvases (:func:`assemble_canvas`)
+    so the window-DMA kernels never need a separate padded copy."""
     from .pallas.blur import blur_and_dog
 
     if use_pallas is None:
@@ -385,8 +401,7 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
     direct = cfg.scaling_mode == "direct"
     relative_all = cfg.gauss_mode == "vlfeat-relative-all"
     fixed = cfg.gauss_mode in ("fixed9", "fixed15")
-    blurs = []
-    dogs = []
+    out = []
     prev_ds_level = None
 
     def downscale(prev, oh, ow):
@@ -416,8 +431,7 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
                     _sep_blur(lvl0, plan.absN_kernels[l])
                     for l in range(1, total)]
             dog_layers = [levels[l + 1] - levels[l] for l in range(total - 1)]
-            blurs.append(jnp.stack(levels))
-            dogs.append(jnp.stack(dog_layers))
+            out.append((levels, dog_layers))
             prev_ds_level = levels[total - 3]
             continue
 
@@ -450,7 +464,70 @@ def build_pyramid(img_u8: jnp.ndarray, plan: PyramidPlan,
                     levels.append(_sep_blur(levels[-1],
                                             plan.inc_kernels[lvl]))
                     dog_layers.append(levels[-1] - levels[-2])
-        blurs.append(jnp.stack(levels))
-        dogs.append(jnp.stack(dog_layers))
+        out.append((levels, dog_layers))
         prev_ds_level = levels[total - 3]
-    return tuple(blurs), tuple(dogs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# halo-padded canvases (TPU window-DMA kernel layout)
+# ---------------------------------------------------------------------------
+#
+# The window-DMA kernels (mask stencil, refinement window extractor,
+# orientation and descriptor kernels) read aligned blocks from an
+# octave image that must be larger than (H, W). Padding the dense
+# stacks per consumer cost ~3.5 ms/frame of pure copies at 1080p; the
+# canvases below are written ONCE, straight from the per-level blur
+# outputs (the dynamic-update-slice writes the pipeline already paid
+# for) and shared by every kernel:
+#
+# * gauss canvas  f32[L, Hg, Wg], interior at (0, 0) — consumed by the
+#   orientation/descriptor kernels, which mask out-of-image samples
+#   in-kernel, so the pad region only needs to be finite (zeros).
+# * dog canvas    f32[L-1, Hd, Wd], interior at (DOG_OY, DOG_OX) — the
+#   top/left halo keeps the mask stencil's DMA tiles aligned; border
+#   pixels are forced false in-kernel (they can never be strict
+#   extrema), so the halo needs no edge replication either. The
+#   refinement window extractor reads from the same canvas: its
+#   one-hot neighborhood reads never select out-of-image pixels (the
+#   step policy clamps moves to [1, H-2], s_extrema.cu:258-284), so
+#   zero halo is semantically inert there too.
+
+DOG_OY = 8     # dog-canvas interior row origin (sublane-aligned)
+DOG_OX = 128   # dog-canvas interior col origin (lane-aligned)
+
+
+def gauss_canvas_dims(H: int, W: int) -> tuple:
+    """Same geometry contract as orientation.pad_for_window_kernels:
+    aligned 112x256 descriptor DMA windows must fit below/right of any
+    keypoint."""
+    Hg = max(-(-(H + 64) // 8) * 8, 112)
+    Wg = max(-(-(W + 240) // 128) * 128, 256)
+    return Hg, Wg
+
+
+def dog_canvas_dims(H: int, W: int) -> tuple:
+    """Rows: the mask stencil's grid step i DMAs [i*32, i*32 + 48) and
+    the refinement window extractor needs 24 rows below any candidate;
+    cols: 256 lanes right of any candidate, 128-aligned."""
+    Ho = -(-H // 32) * 32
+    Hd = -(-max(DOG_OY + H + 24, Ho + 16) // 8) * 8
+    Wd = DOG_OX + (-(-(W + 256) // 128) * 128)
+    return Hd, Wd
+
+
+def assemble_gauss_canvas(levels, H: int, W: int) -> jnp.ndarray:
+    Hg, Wg = gauss_canvas_dims(H, W)
+    canvas = jnp.zeros((len(levels), Hg, Wg), jnp.float32)
+    for l, lvl in enumerate(levels):
+        canvas = jax.lax.dynamic_update_slice(canvas, lvl[None], (l, 0, 0))
+    return canvas
+
+
+def assemble_dog_canvas(dog_layers, H: int, W: int) -> jnp.ndarray:
+    Hd, Wd = dog_canvas_dims(H, W)
+    canvas = jnp.zeros((len(dog_layers), Hd, Wd), jnp.float32)
+    for l, d in enumerate(dog_layers):
+        canvas = jax.lax.dynamic_update_slice(canvas, d[None],
+                                              (l, DOG_OY, DOG_OX))
+    return canvas

@@ -132,19 +132,53 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     equivalent.
     """
     cfg = plan.config
-    blurs, dogs = build_pyramid(img_u8, plan.pyramid)
     from .ops.extrema import CandidateSet, collect_candidates, \
         refine_candidates
-    from .ops.orientation import orientation_histograms, \
-        orientations_from_histograms
+    from .ops.orientation import (max_ori_radius, orientation_histograms,
+                                  orientations_from_histograms)
+    from .ops.descriptors import loop_patch_radius
+    from .ops.pallas.extrema_mask import mask_pallas_available
+    from .ops.pallas.orient import ori_pallas_available
+    from .ops.pallas.window import window_pallas_available
 
     caps = plan.ext_caps
+    dims = plan.pyramid.dims
     offs = np.concatenate([[0], np.cumsum(caps)]).astype(int)
     cat = lambda xs: jnp.concatenate(xs, axis=0)
 
-    # phase 1a: per-octave candidate collection (Pyramid::find_extrema)
-    cands = [collect_candidates(dog, cfg, caps[o])
-             for o, dog in enumerate(dogs)]
+    # On TPU every image-reading stage is a window-DMA Pallas kernel,
+    # and all of them share TWO halo-padded canvases per octave written
+    # straight from the blur outputs (ops/pyramid.py canvas section) —
+    # no dense unpadded stacks and no per-consumer pad/concat copies
+    # (those were ~3.5 ms/frame at 1080p).
+    use_canvas = (mask_pallas_available() and window_pallas_available()
+                  and ori_pallas_available()
+                  and max_ori_radius(cfg) <= 26
+                  and (cfg.desc_mode != "loop"
+                       or loop_patch_radius(cfg) <= 51))
+
+    if use_canvas:
+        from .ops.pyramid import (assemble_dog_canvas,
+                                  assemble_gauss_canvas,
+                                  build_pyramid_octaves)
+        octs = build_pyramid_octaves(img_u8, plan.pyramid)
+        gaussc = [assemble_gauss_canvas(lv, *dims[o])
+                  for o, (lv, _) in enumerate(octs)]
+        dogc = [assemble_dog_canvas(dg, *dims[o])
+                for o, (_, dg) in enumerate(octs)]
+        # non-loop descriptor variants read the dense stack in XLA
+        need_stack = cfg.desc_mode != "loop"
+        blurs = [jnp.stack(lv) if need_stack else None
+                 for lv, _ in octs]
+        padded = gaussc
+        cands = [collect_candidates(None, cfg, caps[o], canvas=dogc[o],
+                                    dims=dims[o])
+                 for o in range(len(caps))]
+    else:
+        blurs, dogs = build_pyramid(img_u8, plan.pyramid)
+        # phase 1a: per-octave candidate collection (Pyramid::find_extrema)
+        cands = [collect_candidates(dog, cfg, caps[o])
+                 for o, dog in enumerate(dogs)]
 
     # phase 1b: one batched refinement over all octaves' candidates,
     # each row carrying its own octave's dimensions
@@ -179,12 +213,12 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     def oct_slice(a, o):
         return a[offs[o]:offs[o + 1]]
 
-    from .ops.orientation import pad_for_window_kernels
-    from .ops.pallas.orient import ori_pallas_available
-    share_pad = ori_pallas_available()
-    padded = [pad_for_window_kernels(blur, *plan.pyramid.dims[o])
-              if share_pad else None
-              for o, blur in enumerate(blurs)]
+    if not use_canvas:
+        from .ops.orientation import pad_for_window_kernels
+        share_pad = ori_pallas_available()
+        padded = [pad_for_window_kernels(blur, *dims[o])
+                  if share_pad else None
+                  for o, blur in enumerate(blurs)]
 
     hists = []
     for octv, blur in enumerate(blurs):
@@ -194,7 +228,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
             sigma=oct_slice(g.sigma, octv), cell=oct_slice(g.cell, octv),
             valid=oct_slice(gvalid, octv))
         hists.append(orientation_histograms(blur, ext_o, cfg,
-                                            padded=padded[octv]))
+                                            padded=padded[octv],
+                                            dims=dims[octv]))
     oris = orientations_from_histograms(cat(hists), gvalid)
 
     # phase 3b: per-octave descriptor jobs + window-reading kernels;
@@ -213,7 +248,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         jobs = make_descriptor_jobs(ext_o, oris_o, plan.job_caps[octv])
         raw_descs.append(compute_descriptors(blur, jobs, cfg,
                                              chunk=desc_chunk,
-                                             padded=padded[octv]))
+                                             padded=padded[octv],
+                                             dims=dims[octv]))
         job_kps.append(jobs.kp_index + offs[octv])
         job_valids.append(jobs.valid)
 
@@ -237,6 +273,197 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         n_descriptors=jnp.sum(desc_valid, dtype=jnp.int32),
         octave_candidates=jnp.stack([c.n_found for c in cands]),
         octave_dropped=jnp.stack([c.n_dropped for c in cands]),
+    )
+
+
+def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
+                  desc_chunk: int = 1024) -> SiftFeatures:
+    """Frame-batched extraction: one XLA program for F frames, every
+    output gaining a leading [F] axis.
+
+    Per-frame device time at 1080p is dominated by ~4k small XLA ops
+    (compaction/refinement/bookkeeping at a few us each) whose fixed
+    cost does not scale with batch; batching F frames amortizes it.
+    The Pallas window-DMA kernels run ONCE for all F frames by stacking
+    the per-frame canvases on the layer axis ([F*L, Hp, Wp]) and
+    offsetting each job's layer index by f*L — the frame becomes part
+    of the level addressing, so the kernels need no batch semantics.
+    The reference gets cross-frame parallelism from multiple SiftJobs
+    on CUDA streams (popsift.cpp:182-213); one batched program is the
+    XLA-native equivalent.
+    """
+    cfg = plan.config
+    F = imgs_u8.shape[0]
+    from .ops.descriptors import loop_patch_radius
+    from .ops.orientation import (max_ori_radius, orientation_histograms,
+                                  orientations_from_histograms)
+    from .ops.pallas.extrema_mask import mask_pallas_available
+    from .ops.pallas.orient import ori_pallas_available
+    from .ops.pallas.window import window_pallas_available
+
+    use_canvas = (mask_pallas_available() and window_pallas_available()
+                  and ori_pallas_available()
+                  and max_ori_radius(cfg) <= 26
+                  and cfg.desc_mode == "loop"
+                  and loop_patch_radius(cfg) <= 51)
+    if not use_canvas:
+        return jax.vmap(
+            lambda im: extract(im, plan, desc_chunk=desc_chunk))(imgs_u8)
+
+    from .ops.extrema import (CandidateSet, collect_candidates_batched,
+                              refine_candidates)
+    from .ops.pyramid import (assemble_dog_canvas, assemble_gauss_canvas,
+                              build_pyramid_octaves)
+
+    caps = plan.ext_caps
+    dims = plan.pyramid.dims
+    L = cfg.total_levels
+    n_oct = len(dims)
+    offs = np.concatenate([[0], np.cumsum(caps)]).astype(int)
+    Ktot = int(offs[-1])
+
+    def front(im):
+        octs = build_pyramid_octaves(im, plan.pyramid)
+        gs = [assemble_gauss_canvas(lv, *dims[o])
+              for o, (lv, _) in enumerate(octs)]
+        ds = [assemble_dog_canvas(dg, *dims[o])
+              for o, (_, dg) in enumerate(octs)]
+        return gs, ds
+
+    gaussc, dogc = jax.vmap(front)(imgs_u8)
+    # frames stacked on the layer axis: [F, L, Hp, Wp] -> [F*L, Hp, Wp]
+    gc2 = [g.reshape(F * L, g.shape[2], g.shape[3]) for g in gaussc]
+    dc2 = [d.reshape(F * (L - 1), d.shape[2], d.shape[3]) for d in dogc]
+
+    # phase 1a: one mask + window launch per octave for all F frames
+    cands = [collect_candidates_batched(dc2[o], F, cfg, caps[o], dims[o])
+             for o in range(n_oct)]
+
+    # phase 1b: one refinement over all frames' and octaves' candidates
+    octv_row = np.concatenate(
+        [np.full(caps[o], o, np.int32) for o in range(n_oct)])
+    w_row = np.concatenate(
+        [np.full(caps[o], ow, np.int32)
+         for o, (oh, ow) in enumerate(dims)])
+    h_row = np.concatenate(
+        [np.full(caps[o], oh, np.int32)
+         for o, (oh, ow) in enumerate(dims)])
+    cat1 = lambda xs: jnp.concatenate(xs, axis=1)       # [F, Ktot]
+    fl = lambda a: a.reshape((F * Ktot,) + a.shape[2:])
+    merged = CandidateSet(
+        patches=jnp.concatenate(
+            [c.patches.reshape((F, caps[o]) + c.patches.shape[1:])
+             for o, c in enumerate(cands)], axis=1).reshape(
+                 (F * Ktot,) + cands[0].patches.shape[1:]),
+        x0=fl(cat1([c.x0 for c in cands])),
+        y0=fl(cat1([c.y0 for c in cands])),
+        z0=fl(cat1([c.z0 for c in cands])),
+        valid=fl(cat1([c.valid for c in cands])),
+        n_found=jnp.stack([c.n_found for c in cands], axis=1).sum(),
+        n_dropped=jnp.stack([c.n_dropped for c in cands], axis=1).sum())
+    wt = np.tile(w_row, F)
+    ht = np.tile(h_row, F)
+    g = refine_candidates(merged, cfg, wt, ht)
+
+    # phase 2: per-frame grid budget
+    scale_row = np.exp2(octv_row.astype(np.float32)
+                        - np.float32(cfg.upscale_factor))
+    gvalid = g.valid
+    if cfg.filter_max_extrema > 0:
+        gvalid = jax.vmap(
+            lambda c, s, v: maybe_grid_filter(c, s, v, cfg))(
+            g.cell.reshape(F, Ktot),
+            (g.sigma * jnp.tile(jnp.asarray(scale_row), F)).reshape(
+                F, Ktot),
+            gvalid.reshape(F, Ktot)).reshape(F * Ktot)
+
+    # per-octave views [F, cap_o] with kernel-level addressing f*L + lv
+    frame_base = jnp.repeat(jnp.arange(F, dtype=jnp.int32), Ktot) * L
+
+    def oct_flat(a, o):
+        return a.reshape(F, Ktot)[:, offs[o]:offs[o + 1]].reshape(-1)
+
+    def ext_for(o, valid):
+        return g._replace(
+            x=oct_flat(g.x, o), y=oct_flat(g.y, o), s=oct_flat(g.s, o),
+            level=oct_flat(g.level + frame_base, o),
+            sigma=oct_flat(g.sigma, o), cell=oct_flat(g.cell, o),
+            valid=oct_flat(valid, o),
+            n_candidates=jnp.int32(F * caps[o]))
+
+    # phase 3a: one orientation-histogram launch set per octave
+    hists = []
+    for octv in range(n_oct):
+        hists.append(orientation_histograms(
+            None, ext_for(octv, gvalid), cfg, padded=gc2[octv],
+            dims=dims[octv]))
+    hist = jnp.concatenate(
+        [h.reshape(F, caps[o], -1) for o, h in enumerate(hists)],
+        axis=1).reshape(F * Ktot, -1)
+    oris = orientations_from_histograms(hist, gvalid)
+
+    # phase 3b: descriptor jobs + kernels per octave, all frames at once
+    raw_descs, job_kps, job_valids = [], [], []
+    jobs_off = np.concatenate([[0], np.cumsum(plan.job_caps)]).astype(int)
+    Jtot = int(jobs_off[-1])
+    for octv in range(n_oct):
+        cap_o = caps[octv]
+        jcap = plan.job_caps[octv]
+        ext_o = ext_for(octv, gvalid)
+
+        # vmap make_descriptor_jobs over frames
+        def resh(a):
+            return a.reshape((F, cap_o) + a.shape[1:])
+        ext_Fv = g.__class__(
+            x=resh(ext_o.x), y=resh(ext_o.y), s=resh(ext_o.s),
+            level=resh(ext_o.level), sigma=resh(ext_o.sigma),
+            cell=resh(ext_o.cell), valid=resh(ext_o.valid),
+            count=jnp.zeros(F, jnp.int32),
+            n_candidates=jnp.zeros(F, jnp.int32),
+            n_dropped=jnp.zeros(F, jnp.int32))
+        oris_F = OctaveOrientations(
+            ori=oris.ori.reshape(F, Ktot, -1)[:, offs[octv]:offs[octv + 1]],
+            ori_valid=oris.ori_valid.reshape(
+                F, Ktot, -1)[:, offs[octv]:offs[octv + 1]],
+            num_ori=oris.num_ori.reshape(F, Ktot)[:,
+                                                  offs[octv]:offs[octv + 1]])
+        jobs_F = jax.vmap(
+            lambda e, o: make_descriptor_jobs(e, o, jcap))(ext_Fv, oris_F)
+        jobs_flat = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]) if a.ndim > 1
+            else a, jobs_F)
+        jobs_flat = jobs_flat._replace(
+            count=jnp.int32(F * jcap),
+            valid=jobs_F.valid.reshape(-1))
+        raw = compute_descriptors(None, jobs_flat, cfg, chunk=desc_chunk,
+                                  padded=gc2[octv], dims=dims[octv])
+        raw_descs.append(raw.reshape(F, jcap, 128))
+        job_kps.append(jobs_F.kp_index + offs[octv])
+        job_valids.append(jobs_F.valid)
+
+    desc_valid = jnp.concatenate(job_valids, axis=1)      # [F, Jtot]
+    desc = normalize_descriptors(
+        jnp.concatenate(raw_descs, axis=1).reshape(F * Jtot, 128), cfg)
+    desc = jnp.where(desc_valid.reshape(-1)[:, None], desc, 0.0)
+
+    sr = jnp.asarray(scale_row)
+    return SiftFeatures(
+        x=(g.x * jnp.tile(sr, F)).reshape(F, Ktot),
+        y=(g.y * jnp.tile(sr, F)).reshape(F, Ktot),
+        sigma=(g.sigma * jnp.tile(sr, F)).reshape(F, Ktot),
+        octave=jnp.broadcast_to(jnp.asarray(octv_row), (F, Ktot)),
+        num_ori=oris.num_ori.reshape(F, Ktot),
+        valid=gvalid.reshape(F, Ktot),
+        ori=oris.ori.reshape(F, Ktot, -1),
+        ori_valid=oris.ori_valid.reshape(F, Ktot, -1),
+        desc=desc.reshape(F, Jtot, 128),
+        desc_kp=jnp.concatenate(job_kps, axis=1),
+        desc_valid=desc_valid,
+        n_keypoints=jnp.sum(gvalid.reshape(F, Ktot), axis=1,
+                            dtype=jnp.int32),
+        n_descriptors=jnp.sum(desc_valid, axis=1, dtype=jnp.int32),
+        octave_candidates=jnp.stack([c.n_found for c in cands], axis=1),
+        octave_dropped=jnp.stack([c.n_dropped for c in cands], axis=1),
     )
 
 

@@ -86,6 +86,26 @@ def check_mask(dog, cfg, results):
     }
 
 
+def check_mask_canvas(dog, cfg, results):
+    """Canvas-origin mask stencil (reads the shared halo-padded DoG
+    canvas at (DOG_OY, DOG_OX)) vs the XLA reference mask."""
+    from popsift_tpu.ops.extrema import _candidate_mask
+    from popsift_tpu.ops.pyramid import assemble_dog_canvas
+
+    D, H, W = dog.shape
+    canvas = jax.jit(lambda d: assemble_dog_canvas(
+        [d[i] for i in range(D)], H, W))(dog)
+    m_tpu = jax.jit(lambda c: _candidate_mask(
+        None, cfg, canvas=c, dims=(H, W)))(canvas)
+    m_ref = jax.jit(lambda d: _candidate_mask(d, cfg, use_pallas=False))(dog)
+    same = bool(np.array_equal(np.asarray(m_tpu), np.asarray(m_ref)))
+    results["extrema_mask_canvas"] = {
+        "n_candidates": int(np.asarray(m_ref).sum()),
+        "bit_exact": same,
+        "pass": same,
+    }
+
+
 def check_window(dog, results):
     from popsift_tpu.ops.pallas.window import extract_windows_pallas
 
@@ -245,6 +265,7 @@ def main():
     check_blur(blur, results)
     check_octave_chain(blur[0], results)
     check_mask(dog, cfg, results)
+    check_mask_canvas(dog, cfg, results)
     check_window(dog, results)
     ext = detect_extrema(dog, cfg, 512, ow, oh)
     check_orient_desc(blur, ext, cfg, results)
