@@ -271,6 +271,30 @@ class PopSift:
         plan, fn = self._fn_for(h, w)
         return SiftJob(fn(image), plan, mode=self._mode)
 
+    def enqueue_batch(self, images) -> list:
+        """Submit F same-sized grayscale frames as ONE device program
+        (:func:`popsift_tpu.pipeline.extract_batch`); returns a list of
+        per-frame SiftJobs sharing the single async dispatch.
+
+        The reference overlaps frames with multiple SiftJobs on CUDA
+        streams (popsift.cpp:182-213); on TPU one frame-batched XLA
+        program amortizes the per-op dispatch overhead instead."""
+        imgs = np.stack([np.asarray(im) for im in images])
+        if imgs.ndim != 3:
+            raise ValueError("enqueue_batch expects F same-sized [H, W]")
+        F, h, w = imgs.shape
+        key = ("batch", F, h, w, self._config)
+        plan, _ = self._fn_for(h, w)
+        with self._lock:
+            if key not in self._plans:
+                from .pipeline import extract_batch
+                self._plans[key] = (
+                    plan, jax.jit(lambda x: extract_batch(x, plan)))
+            plan, fn = self._plans[key]
+        out = fn(imgs)
+        return [SiftJob(jax.tree_util.tree_map(lambda a: a[i], out),
+                        plan, mode=self._mode) for i in range(F)]
+
     def uninit(self):
         with self._lock:
             self._plans.clear()

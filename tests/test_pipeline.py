@@ -146,3 +146,26 @@ def test_matching_mode_get_returns_dev(small_image):
     host = PopSift(cfg).enqueue(small_image).get()
     assert isinstance(host, FeaturesHost)
     assert dev.getDescriptorCount() == host.getDescriptorCount()
+
+
+def test_extract_batch_fallback_parity(small_image):
+    """extract_batch on a non-TPU backend falls back to vmap(extract)
+    and must match per-frame single extraction exactly."""
+    import jax
+    import jax.numpy as jnp
+    from popsift_tpu.config import SiftConfig
+    from popsift_tpu.pipeline import (build_extract_plan, extract,
+                                      extract_batch)
+
+    h, w = small_image.shape
+    cfg = SiftConfig(octaves=3, extrema_capacity=128)
+    plan = build_extract_plan(cfg, h, w)
+    imgs = jnp.asarray(np.stack([small_image, 255 - small_image]))
+
+    out = jax.jit(lambda x: extract_batch(x, plan))(imgs)
+    for i in range(2):
+        ref = jax.jit(lambda x: extract(x, plan))(imgs[i])
+        assert int(out.n_keypoints[i]) == int(ref.n_keypoints)
+        assert int(out.n_descriptors[i]) == int(ref.n_descriptors)
+        np.testing.assert_allclose(np.asarray(out.desc[i]),
+                                   np.asarray(ref.desc), rtol=1e-6)
