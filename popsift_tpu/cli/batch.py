@@ -25,6 +25,9 @@ def build_parser():
     p.add_argument("--levels", type=int, default=3)
     p.add_argument("--threshold", type=float, default=0.04)
     p.add_argument("--desc-mode", default="loop")
+    p.add_argument("--batch", type=int, default=1,
+                   help="extract N same-sized frames per device program "
+                        "(frame-batched pipeline; amortizes dispatch)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -37,7 +40,8 @@ def main(argv=None):
     cfg = SiftConfig(octaves=args.octaves, levels=args.levels,
                      threshold=args.threshold, desc_mode=args.desc_mode,
                      verbose=args.verbose)
-    job = BatchExtractJob(args.out_dir, cfg, verbose=args.verbose)
+    job = BatchExtractJob(args.out_dir, cfg, verbose=args.verbose,
+                          batch=args.batch)
     stats = job.run(args.images)
     print(f"batch done: {stats['done']} extracted, "
           f"{stats['skipped']} resumed from manifest")

@@ -62,11 +62,13 @@ class BatchExtractJob:
         stats = job.run(paths)      # resumes automatically on re-run
     """
 
-    def __init__(self, out_dir: str, config=None, verbose: bool = False):
+    def __init__(self, out_dir: str, config=None, verbose: bool = False,
+                 batch: int = 1):
         from ..config import SiftConfig
         self.out_dir = out_dir
         self.config = config or SiftConfig()
         self.verbose = verbose
+        self.batch = max(1, int(batch))
         os.makedirs(out_dir, exist_ok=True)
         self.manifest_path = os.path.join(out_dir, "MANIFEST.jsonl")
 
@@ -112,7 +114,7 @@ class BatchExtractJob:
         # native pipeline queue is bounded; submitting everything up
         # front could block against our own consumption order)
         import collections
-        lookahead = 4
+        lookahead = max(4, 2 * self.batch)
         window = collections.deque()
         idx = 0
         manifest = open(self.manifest_path, "a")
@@ -121,29 +123,40 @@ class BatchExtractJob:
                 while idx < len(pending) and len(window) < lookahead:
                     window.append((pending[idx], decode(pending[idx])))
                     idx += 1
-                path, djob = window.popleft()
-                img = djob.get()
-                feats = ps.enqueue(img).get()
-                out = self._out_path(path)
-                _atomic_write_npz(out, dict(
-                    x=feats.x, y=feats.y, sigma=feats.sigma,
-                    octave=feats.octave, num_ori=feats.num_ori,
-                    orientations=feats.orientations,
-                    descriptors=feats.descriptors,
-                    desc_to_kp=feats.desc_to_kp))
-                rec = {"frame": path, "out": os.path.basename(out),
-                       "n_kp": feats.getFeatureCount(),
-                       "n_desc": feats.getDescriptorCount(),
-                       "checksum": round(float(np.sum(feats.descriptors)),
-                                         3)}
-                manifest.write(json.dumps(rec) + "\n")
-                manifest.flush()
-                os.fsync(manifest.fileno())
-                n_done += 1
-                if self.verbose:
-                    print(f"[batch] {path}: {rec['n_kp']} kp")
-                if on_frame is not None:
-                    on_frame(path, feats)
+                # pull up to self.batch consecutive same-shaped frames
+                # and extract them as ONE device program (enqueue_batch);
+                # a shape change ends the group early (per-frame fallback)
+                group = [(window[0][0], window.popleft()[1].get())]
+                while (window and len(group) < self.batch
+                       and window[0][1].get().shape == group[0][1].shape
+                       and window[0][1].get().dtype == group[0][1].dtype):
+                    group.append((window[0][0], window.popleft()[1].get()))
+                if len(group) == 1:
+                    jobs = [ps.enqueue(group[0][1])]
+                else:
+                    jobs = ps.enqueue_batch([im for _, im in group])
+                for (path, _), job in zip(group, jobs):
+                    feats = job.get()
+                    out = self._out_path(path)
+                    _atomic_write_npz(out, dict(
+                        x=feats.x, y=feats.y, sigma=feats.sigma,
+                        octave=feats.octave, num_ori=feats.num_ori,
+                        orientations=feats.orientations,
+                        descriptors=feats.descriptors,
+                        desc_to_kp=feats.desc_to_kp))
+                    rec = {"frame": path, "out": os.path.basename(out),
+                           "n_kp": feats.getFeatureCount(),
+                           "n_desc": feats.getDescriptorCount(),
+                           "checksum": round(
+                               float(np.sum(feats.descriptors)), 3)}
+                    manifest.write(json.dumps(rec) + "\n")
+                    manifest.flush()
+                    os.fsync(manifest.fileno())
+                    n_done += 1
+                    if self.verbose:
+                        print(f"[batch] {path}: {rec['n_kp']} kp")
+                    if on_frame is not None:
+                        on_frame(path, feats)
         finally:
             manifest.close()
             if pipeline is not None:

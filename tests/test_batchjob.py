@@ -96,3 +96,27 @@ job.run({frames!r}, on_frame=bomb)
     assert {r["frame"] for r in recs2} == set(frames)
     # the two pre-crash frames were not recomputed
     assert {r["frame"] for r in recs2[:2]} == done_before
+
+
+def test_batch_job_batched_matches_per_frame(tmp_path):
+    """batch=3 groups frames into one device program (enqueue_batch);
+    outputs must be identical to the per-frame path."""
+    from popsift_tpu.config import SiftConfig
+    from popsift_tpu.runtime.batchjob import BatchExtractJob
+
+    frames = _write_frames(str(tmp_path), 4)
+    cfg = SiftConfig(octaves=2, extrema_capacity=64)
+
+    out1 = str(tmp_path / "f1")
+    out3 = str(tmp_path / "f3")
+    s1 = BatchExtractJob(out1, cfg, batch=1).run(frames)
+    s3 = BatchExtractJob(out3, cfg, batch=3).run(frames)
+    assert s1 == s3 == {"done": 4, "skipped": 0}
+    for f in sorted(os.listdir(out1)):
+        if not f.endswith(".npz"):
+            continue
+        a = np.load(os.path.join(out1, f))
+        b = np.load(os.path.join(out3, f))
+        for k in a.files:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=0,
+                                       err_msg=f"{f}:{k}")
