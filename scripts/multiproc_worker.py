@@ -52,6 +52,18 @@ def main():
 
     mesh = Mesh(np.array(jax.devices()), ("dp",))
 
+    # Form the gloo clique FIRST with a trivial collective: the heavy
+    # pipeline compiles below can skew the two single-core processes by
+    # more than gloo's 30 s connect deadline, so the rendezvous must
+    # happen while both processes are still in lockstep. XLA caches the
+    # clique context, so every later collective reuses these sockets.
+    warm = jax.jit(shard_map(lambda x: jax.lax.psum(x, "dp"), mesh=mesh,
+                             in_specs=P("dp"), out_specs=P(),
+                             check_vma=False))
+    np.testing.assert_allclose(
+        np.asarray(warm(jnp.arange(nprocs, dtype=jnp.float32))),
+        np.arange(nprocs).sum())
+
     # --- batched extraction across processes (tiny shapes) -------------
     from popsift_tpu.config import SiftConfig
     from popsift_tpu.pipeline import build_extract_plan, extract
