@@ -12,10 +12,18 @@ Methodology: synthetic 1920x1080 frames with realistic keypoint density;
 per-octave pipeline capacities are sized from a calibration pass (actual
 candidate counts + 50% headroom) the way a production deployment would
 pin them, then throughput is measured over scan-batched extraction
-(16 frames per dispatch at single-frame memory footprint — production
-serving batches; the reference instead overlaps upload/compute with its
-2-stage host pipeline, popsift.cpp:171-213), with full-field checksums
-so no stage dead-code-eliminates.
+(16 frames per dispatch at bounded memory footprint — production serving
+batches; the reference instead overlaps upload/compute with its 2-stage
+host pipeline, popsift.cpp:171-213), with full-field checksums so no
+stage dead-code-eliminates.
+
+Two pipeline variants are timed and the better one reported:
+  * single_scan — lax.scan of per-frame extract() (one frame per step);
+  * batched_F   — lax.scan of extract_batch() over chunks of F frames
+    (one XLA program computes F frames' kernels together, dividing the
+    per-op fixed overhead by F).
+The batched variant must reproduce the single-frame per-frame counts
+exactly or it is discarded (invariant: 2110 kp / 2505 desc on frame 0).
 """
 
 import json
@@ -39,13 +47,32 @@ def make_frame(h=1080, w=1920, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def main():
+def _checksum(out):
+    import jax.numpy as jnp
+    return (jnp.sum(out.desc) + jnp.sum(out.x) + jnp.sum(out.y)
+            + jnp.sum(out.sigma) + jnp.sum(out.ori)
+            + jnp.sum(out.desc_kp.astype(jnp.float32)))
+
+
+def _timed(fn, x, n_frames, iters=3):
+    import jax
+    r = fn(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    rs = [fn(x) for _ in range(iters)]
+    jax.block_until_ready(rs)
+    dt = time.perf_counter() - t0
+    return iters * n_frames / dt, rs[0]
+
+
+def main(h=1080, w=1920, B=16, F=4):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcc")
+    import jax.numpy as jnp
     from popsift_tpu.config import SiftConfig
-    from popsift_tpu.pipeline import build_extract_plan, make_extract_fn
+    from popsift_tpu.pipeline import (build_extract_plan, extract,
+                                      extract_batch, make_extract_fn)
 
-    h, w = 1080, 1920
     frames = [make_frame(h, w, seed=i) for i in range(4)]
 
     # calibration: generous uniform capacity to learn the per-octave
@@ -64,51 +91,60 @@ def main():
                  for c in cand)
     plan = build_extract_plan(cfg, h, w, octave_caps=caps)
 
-    import jax.numpy as jnp
-    from popsift_tpu.pipeline import extract
-
-    # batch via lax.scan over frames (NOT vmap: batched gathers in the
-    # patch-based refine trigger a batch-minor DoG relayout with 128x
-    # padding). One dispatch processes B frames sequentially with
-    # single-frame memory footprint, amortizing the per-dispatch
-    # dispatch overhead (30-70 ms through tunneled devices).
-    B = 16
     batch = jnp.asarray(np.stack([frames[i % len(frames)]
                                   for i in range(B)]))
 
-    def scan_fn(xs):
+    # variant 1: single-frame scan (B frames per dispatch, single-frame
+    # memory footprint; NOT vmap — batched gathers in the patch-based
+    # refine trigger a batch-minor DoG relayout with 128x padding)
+    def scan_single(xs):
         def body(_, img):
-            out = extract(img, plan)
-            # reduce every output field so nothing dead-code-eliminates
-            checksum = (jnp.sum(out.desc) + jnp.sum(out.x)
-                        + jnp.sum(out.y) + jnp.sum(out.sigma)
-                        + jnp.sum(out.ori)
-                        + jnp.sum(out.desc_kp.astype(jnp.float32)))
-            return 0, (out.n_keypoints, out.n_descriptors, checksum)
-        _, outs = jax.lax.scan(body, 0, xs)
-        return outs
+            o = extract(img, plan)
+            return 0, (o.n_keypoints, o.n_descriptors, _checksum(o))
+        return jax.lax.scan(body, 0, xs)[1]
 
-    fn = jax.jit(scan_fn)
-    r = fn(batch)
-    jax.block_until_ready(r)
+    fps_single, r1 = _timed(jax.jit(scan_single), batch, B)
+    kp_single = [int(k) for k in np.asarray(r1[0])]
+    variants = {"single_scan": round(fps_single, 2)}
+    best = ("single_scan", fps_single)
 
-    iters = 3
-    t0 = time.perf_counter()
-    results = [fn(batch) for _ in range(iters)]
-    jax.block_until_ready(results)
-    dt = time.perf_counter() - t0
-    fps = iters * B / dt
+    # variant 2: frame-batched extract (F frames share one kernel launch
+    # per stage, layer-axis stacking). Any failure — compile, OOM, count
+    # mismatch — falls back to the single-scan number.
+    try:
+        chunks = batch.reshape(B // F, F, h, w)
 
+        def scan_batched(xs):
+            def body(_, imgs):
+                o = extract_batch(imgs, plan)
+                return 0, (o.n_keypoints, o.n_descriptors, _checksum(o))
+            return jax.lax.scan(body, 0, xs)[1]
+
+        fps_b, rb = _timed(jax.jit(scan_batched), chunks, B)
+        kp_b = [int(k) for k in np.asarray(rb[0]).reshape(-1)]
+        if kp_b == kp_single:
+            variants[f"batched_F{F}"] = round(fps_b, 2)
+            if fps_b > best[1]:
+                best = (f"batched_F{F}", fps_b)
+        else:
+            variants[f"batched_F{F}"] = f"COUNT MISMATCH {kp_b[:4]}"
+    except Exception as e:   # noqa: BLE001 — bench must always report
+        variants[f"batched_F{F}"] = f"failed: {type(e).__name__}"
+
+    fps = best[1]
     print(json.dumps({
         "metric": "sift_1080p_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.3, 3),
         "detail": {"keypoints": n_kp, "descriptors": n_desc,
+                   "variant": best[0], "variants": variants,
                    "octave_caps": list(caps),
                    "device": str(jax.devices()[0])},
     }))
 
 
 if __name__ == "__main__":
+    if "--smoke" in sys.argv:   # structure check on CPU: tiny frames
+        sys.exit(main(h=96, w=128, B=4, F=2))
     sys.exit(main())
