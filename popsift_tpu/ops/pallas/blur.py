@@ -162,8 +162,8 @@ def blur_dog_available() -> bool:
 _TH_CHAIN = 256  # output rows per grid step
 
 
-def _octave_chain_kernel(x_hbm, *refs, taps_per_level, Scum, Vcum, Wo,
-                         Hcum, H, W):
+def _octave_chain_kernel(x_hbm, *refs, taps_per_level, Vcum, Hcum, Wo,
+                         H, W):
     """Grid step i computes rows [i*TH, i*TH+TH) of EVERY level.
 
     The incremental chain blur_l = G_l * blur_{l-1} re-reads each level
@@ -173,10 +173,14 @@ def _octave_chain_kernel(x_hbm, *refs, taps_per_level, Scum, Vcum, Wo,
     writing only the final outputs — the s_pyramid_fixed.cu:93-119 idea
     applied to the incremental filter bank.
 
-    Each level's separable conv keeps the tile shape constant by
-    edge-padding inside the tile; those edge columns/rows are garbage
-    but lie strictly outside the remaining cumulative halo of later
-    levels, so the central [TH, Wo] output region is exact.
+    Shrinking-window formulation: each level's separable conv is
+    computed only over the region whose halo is still valid, so the
+    buffer SHRINKS by the filter span per level and every tap is a
+    plain static slice of the previous buffer — the same
+    shifted-slice pattern as :func:`_blur_dog_kernel` (which Mosaic
+    compiles in seconds). The previous concatenate-based in-tile
+    edge padding kept the tile shape constant but blew Mosaic
+    compile time past 25 minutes at 1080p (round-2 finding).
     """
     nlev = len(taps_per_level)
     blur_refs = refs[:nlev]
@@ -203,60 +207,54 @@ def _octave_chain_kernel(x_hbm, *refs, taps_per_level, Scum, Vcum, Wo,
         dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
     dma(slot, i).wait()
-    prev = scratch[slot]                       # [TH+2Vcum, Wtot]
-    Ht, Wt = prev.shape
+    prev = scratch[slot]                 # [TH+2*Vcum, Wo+2*Hcum]
+    vr, hc = Vcum, Hcum                  # margins around central tile
 
-    def edge_pad_cols(x, s):
-        left = jnp.broadcast_to(x[:, :1], (x.shape[0], s))
-        right = jnp.broadcast_to(x[:, -1:], (x.shape[0], s))
-        return jnp.concatenate([left, x, right], axis=1)
+    for l, taps in enumerate(taps_per_level):
+        S = len(taps) - 1
+        Ht, Wt = prev.shape
+        Wn, Hn = Wt - 2 * S, Ht - 2 * S
+        # horizontal pass over output cols [S, Wt-S)
+        acc = prev[:, S:S + Wn] * taps[0]
+        for off in range(1, S + 1):
+            acc += (prev[:, S - off:S - off + Wn]
+                    + prev[:, S + off:S + off + Wn]) * taps[off]
+        # vertical pass over output rows [S, Ht-S)
+        cur = acc[S:S + Hn, :] * taps[0]
+        for off in range(1, S + 1):
+            cur += (acc[S - off:S - off + Hn, :]
+                    + acc[S + off:S + off + Hn, :]) * taps[off]
+        vr -= S
+        hc -= S
 
-    def edge_pad_rows(x, s):
-        top = jnp.broadcast_to(x[:1, :], (s, x.shape[1]))
-        bot = jnp.broadcast_to(x[-1:, :], (s, x.shape[1]))
-        return jnp.concatenate([top, x, bot], axis=0)
-
-    # image coordinates of the tile's rows/cols, for per-level border
-    # re-replication (the reference's clamped texture reads replicate
-    # EACH level's border, not level 0's; without this fixup levels >= 2
-    # would see "blur of replicated level-0" in the halo instead of
-    # "replicated blur")
-    g_row = (jax.lax.broadcasted_iota(jnp.int32, (Ht, 1), 0)
-             + i * TH - Vcum)
-    g_col = jax.lax.broadcasted_iota(jnp.int32, (1, Wt), 1) - Hcum
-    bot_local = jnp.clip(Vcum + (H - 1) - i * TH, 0, Ht - 1)
-
-    def replicate_borders(cur):
-        left = cur[:, Hcum:Hcum + 1]
-        right = cur[:, Hcum + W - 1:Hcum + W]
+        # Per-level border re-replication (the reference's clamped
+        # texture reads replicate EACH level's border, assist.h:66-81;
+        # without this fixup levels >= 2 would see "blur of replicated
+        # level-0" in the halo instead of "replicated blur").
+        g_row = (jax.lax.broadcasted_iota(jnp.int32, (Hn, 1), 0)
+                 + i * TH - vr)
+        g_col = jax.lax.broadcasted_iota(jnp.int32, (1, Wn), 1) - hc
+        left = cur[:, hc:hc + 1]
+        right = cur[:, hc + W - 1:hc + W]
         cur = jnp.where(g_col < 0, left, cur)
         cur = jnp.where(g_col > W - 1, right, cur)
-        top = cur[Vcum:Vcum + 1, :]
-        # bottom row lives at a grid-step-dependent offset; Mosaic has
-        # no dynamic_slice, so read it with a one-hot row reduction
-        bot_mask = (jax.lax.broadcasted_iota(jnp.int32, (Ht, 1), 0)
+        # image row 0 sits at local row vr only on grid step 0, which
+        # is the only step where g_row < 0 can hold — static slice OK
+        top = cur[vr:vr + 1, :]
+        # the bottom image row lives at a grid-step-dependent offset;
+        # Mosaic has no dynamic_slice, so read it with a one-hot
+        # row reduction
+        bot_local = jnp.clip(vr + (H - 1) - i * TH, 0, Hn - 1)
+        bot_mask = (jax.lax.broadcasted_iota(jnp.int32, (Hn, 1), 0)
                     == bot_local).astype(cur.dtype)
         bot = jnp.sum(cur * bot_mask, axis=0, keepdims=True)
         cur = jnp.where(g_row < 0, top, cur)
         cur = jnp.where(g_row > H - 1, bot, cur)
-        return cur
 
-    for l, taps in enumerate(taps_per_level):
-        S = len(taps) - 1
-        xh = edge_pad_cols(prev, S)
-        acc = xh[:, S:S + Wt] * taps[0]
-        for off in range(1, S + 1):
-            acc += (xh[:, S - off:S - off + Wt]
-                    + xh[:, S + off:S + off + Wt]) * taps[off]
-        xv = edge_pad_rows(acc, S)
-        cur = xv[S:S + Ht, :] * taps[0]
-        for off in range(1, S + 1):
-            cur += (xv[S - off:S - off + Ht, :]
-                    + xv[S + off:S + off + Ht, :]) * taps[off]
-        cur = replicate_borders(cur)
-        blur_refs[l][:] = cur[Vcum:Vcum + TH, Hcum:Hcum + Wo]
-        dog_refs[l][:] = (cur[Vcum:Vcum + TH, Hcum:Hcum + Wo]
-                          - prev[Vcum:Vcum + TH, Hcum:Hcum + Wo])
+        blur_refs[l][:] = cur[vr:vr + TH, hc:hc + Wo]
+        dog_refs[l][:] = (cur[vr:vr + TH, hc:hc + Wo]
+                          - prev[vr + S:vr + S + TH,
+                                 hc + S:hc + S + Wo])
         prev = cur
 
 
@@ -273,7 +271,7 @@ def _octave_chain_call(xp, taps_per_level, Wo, H, W, interpret=False):
 
     kernel = functools.partial(_octave_chain_kernel,
                                taps_per_level=taps_per_level,
-                               Scum=Scum, Vcum=Vcum, Wo=Wo, Hcum=Hcum,
+                               Vcum=Vcum, Wo=Wo, Hcum=Hcum,
                                H=H, W=W)
     out_spec = pl.BlockSpec((TH, Wo), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -294,22 +292,8 @@ def _octave_chain_call(xp, taps_per_level, Wo, H, W, interpret=False):
     )(xp)
 
 
-def octave_blur_chain(lvl0: jnp.ndarray, kernels, interpret: bool = False):
-    """Fused incremental blur chain for one octave.
-
-    lvl0: f32[H, W]; kernels: list of full symmetric 1-D filters for
-    levels 1..L-1. Returns (blurs, dogs): lists of f32[H, W], where
-    blurs[l-1] is level l and dogs[l-1] = blur_l - blur_{l-1}, all with
-    edge-replicated borders — numerically the `_sep_blur` chain
-    (interpret-mode parity test in tests/test_pallas_blur.py).
-
-    STATUS: experimental opt-in (build_pyramid(use_pallas="chain")).
-    Measured round 2: Mosaic compilation of the 5-level fused kernel at
-    1080p exceeded 25 minutes on the tunneled v5e (the per-level
-    ``blur_and_dog`` kernel compiles in seconds) — the concatenate-based
-    in-tile padding x 5 unrolled levels blows up the Mosaic pipeline, so
-    the XLA shift-add chain remains the production path.
-    """
+def _chain_group(lvl0: jnp.ndarray, kernels, interpret: bool):
+    """One pallas_call fusing ``len(kernels)`` consecutive levels."""
     H, W = lvl0.shape
     Ss = [(k.shape[0] - 1) // 2 for k in kernels]
     Scum = sum(Ss)
@@ -330,4 +314,35 @@ def octave_blur_chain(lvl0: jnp.ndarray, kernels, interpret: bool = False):
     nlev = len(kernels)
     blurs = [o[:H, :W] for o in outs[:nlev]]
     dogs = [o[:H, :W] for o in outs[nlev:]]
+    return blurs, dogs
+
+
+def octave_blur_chain(lvl0: jnp.ndarray, kernels, interpret: bool = False,
+                      group: int | None = None):
+    """Fused incremental blur chain for one octave.
+
+    lvl0: f32[H, W]; kernels: list of full symmetric 1-D filters for
+    levels 1..L-1. Returns (blurs, dogs): lists of f32[H, W], where
+    blurs[l-1] is level l and dogs[l-1] = blur_l - blur_{l-1}, all with
+    edge-replicated borders — numerically the `_sep_blur` chain
+    (interpret-mode parity test in tests/test_pallas_blur.py).
+
+    ``group`` caps the number of levels fused into one pallas_call
+    (None = all): the chain is split into consecutive groups, each
+    re-reading the previous group's last blur level from HBM. Round-2
+    measured Mosaic compile of the 5-level concat-based kernel at >25
+    minutes; the shrinking-window rewrite plus ``group`` bounds the
+    per-kernel unrolled op count so compile stays tractable while
+    still cutting the octave to ``ceil((L-1)/group)`` HBM round-trips
+    (vs L-1 for per-level kernels).
+    """
+    if group is None or group >= len(kernels):
+        return _chain_group(lvl0, kernels, interpret)
+    blurs, dogs = [], []
+    prev = lvl0
+    for g0 in range(0, len(kernels), group):
+        bl, dg = _chain_group(prev, kernels[g0:g0 + group], interpret)
+        blurs += bl
+        dogs += dg
+        prev = bl[-1]
     return blurs, dogs

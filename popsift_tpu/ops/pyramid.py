@@ -442,11 +442,13 @@ def build_pyramid_octaves(img_u8: jnp.ndarray, plan: PyramidPlan,
         else:
             lvl0 = downscale(prev_ds_level, oh, ow)
         if use_pallas == "chain" and not relative_all:
-            # fused whole-octave kernel: lvl0 read once, all levels +
-            # DoGs written in a single VMEM pass (ops/pallas/blur.py)
+            # fused octave chain: lvl0 read once per group, levels +
+            # DoGs written from VMEM (ops/pallas/blur.py); group=3
+            # bounds Mosaic compile time per kernel (round-2 finding)
             from .pallas.blur import octave_blur_chain
             bl, dg = octave_blur_chain(
-                lvl0, [plan.inc_kernels[lvl] for lvl in range(1, total)])
+                lvl0, [plan.inc_kernels[lvl] for lvl in range(1, total)],
+                group=3)
             levels = [lvl0] + bl
             dog_layers = dg
         else:

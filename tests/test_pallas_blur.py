@@ -96,9 +96,12 @@ def test_polyphase_lvl0_matches_gather_path(rng):
     np.testing.assert_allclose(fast, slow, atol=2e-3)
 
 
-def test_octave_chain_matches_sep_blur_chain(rng):
-    """Fused whole-octave chain kernel (interpret mode) vs the XLA
-    incremental _sep_blur chain, including edge replication."""
+@pytest.mark.parametrize("group", [None, 3, 2])
+def test_octave_chain_matches_sep_blur_chain(rng, group):
+    """Fused octave chain kernel (interpret mode) vs the XLA
+    incremental _sep_blur chain, including edge replication — both
+    fully fused and split into compile-bounded groups (the production
+    setting, build_pyramid use_pallas='chain' uses group=3)."""
     from popsift_tpu.config import SiftConfig
     from popsift_tpu.gauss import build_gauss_tables, full_kernel
     from popsift_tpu.ops.pallas.blur import octave_blur_chain
@@ -112,7 +115,7 @@ def test_octave_chain_matches_sep_blur_chain(rng):
     lvl0 = rng.normal(96, 40, size=(H, W)).astype(np.float32)
 
     blurs, dogs = octave_blur_chain(jnp.asarray(lvl0), kernels,
-                                    interpret=True)
+                                    interpret=True, group=group)
     prev = jnp.asarray(lvl0)
     for l, k in enumerate(kernels):
         want = _sep_blur(prev, k)
