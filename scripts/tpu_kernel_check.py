@@ -63,11 +63,15 @@ def check_octave_chain(blur0, results):
     t = build_gauss_tables(SiftConfig())
     ks = [full_kernel(t.inc[l], int(t.inc_span[l]))
           for l in range(1, len(t.inc))]
-    got = jax.jit(lambda x: octave_blur_chain(x, ks))(blur0)
     want = octave_blur_chain(blur0, ks, interpret=True)
-    d = max(_maxdiff(g, w) for g, w in zip(jax.tree.leaves(got),
-                                           jax.tree.leaves(want)))
-    results["octave_blur_chain"] = {"max_abs_diff": d, "pass": d < 1e-5}
+    for group in (None, 3):   # fully fused + the production group=3
+        got = jax.jit(
+            lambda x: octave_blur_chain(x, ks, group=group))(blur0)
+        d = max(_maxdiff(g, w) for g, w in zip(jax.tree.leaves(got),
+                                               jax.tree.leaves(want)))
+        key = ("octave_blur_chain" if group is None
+               else f"octave_blur_chain_g{group}")
+        results[key] = {"max_abs_diff": d, "pass": d < 1e-5}
 
 
 def check_mask(dog, cfg, results):
