@@ -147,3 +147,28 @@ def test_pruned_matcher_recall_on_sift_like_sets():
              np.asarray(want.best_idx)[wa]) & ga[wa]
     recall = agree.mean()
     assert recall >= 0.99, f"recall {recall}"
+
+
+def test_matcher_agrees_with_cv2_bfmatcher():
+    """External validation of the matcher in isolation: on identical
+    descriptor sets, the tiled MXU matcher must reproduce OpenCV's
+    BFMatcher(L2) kNN best/second-best and the squared-L2 ratio-0.8
+    accept rule (features.cu:223). Complements the end-to-end cv2
+    pipeline gate (tests/test_cv2_parity.py)."""
+    import pytest
+    cv2 = pytest.importorskip("cv2")
+
+    dl, dr = _rand_desc(150, 7), _rand_desc(220, 8)
+    vl = np.ones(150, bool)
+    vr = np.ones(220, bool)
+    got = jax.jit(match_descriptors)(dl, vl, dr, vr)
+
+    knn = cv2.BFMatcher(cv2.NORM_L2).knnMatch(dl, dr, k=2)
+    best = np.array([m[0].trainIdx for m in knn])
+    d1 = np.array([m[0].distance for m in knn], np.float64) ** 2
+    d2 = np.array([m[1].distance for m in knn], np.float64) ** 2
+    accept = d1 / np.maximum(d2, 1e-30) < 0.8
+
+    np.testing.assert_array_equal(np.asarray(got.best_idx), best)
+    np.testing.assert_allclose(np.asarray(got.best_dist), d1, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.accept), accept)
