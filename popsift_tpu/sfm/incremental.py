@@ -32,7 +32,8 @@ from .ba import BAProblem, bundle_adjust
 from .pnp import ransac_pnp
 from .rotation import exp_so3, log_so3
 from .tracks import Tracks
-from .twoview import ransac_essential, recover_pose, triangulate
+from .twoview import (ransac_essential, recover_pose, refine_pose,
+                      triangulate)
 
 
 @dataclass
@@ -202,6 +203,12 @@ class IncrementalSfM:
         R2, t2, good = recover_pose(res.model, jnp.asarray(_pad(xa, cap)),
                                     jnp.asarray(_pad(xb, cap)),
                                     jnp.asarray(valid) & res.inliers)
+        # GN polish on the essential manifold: the 8-point translation
+        # direction is several degrees off at typical noise; refinement
+        # reaches 5-point-solver accuracy (tests/test_cv2_sfm_parity.py)
+        R2, t2 = refine_pose(R2, t2, jnp.asarray(_pad(xa, cap)),
+                             jnp.asarray(_pad(xb, cap)),
+                             jnp.asarray(valid) & res.inliers)
         X = triangulate(jnp.eye(3), jnp.zeros(3), R2, t2,
                         jnp.asarray(_pad(xa, cap)), jnp.asarray(_pad(xb, cap)))
         X = np.asarray(X)

@@ -236,3 +236,61 @@ def recover_pose(E, x1, x2, valid):
     ts = jnp.stack([c[1] for c in cands])
     ms = jnp.stack(masks)
     return Rs[best], ts[best], ms[best]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def refine_pose(R, t, x1, x2, weights, iters=10):
+    """Gauss-Newton refinement of a relative pose on the essential
+    manifold (5 dof: so(3) x tangent of the unit translation sphere),
+    minimizing the weighted signed Sampson residual over the inlier
+    set.
+
+    The linear 8-point estimate + closed-form decomposition is noisy in
+    the translation direction (several degrees at 0.1% pixel noise);
+    ~10 GN steps close the gap to OpenCV's 5-point solver — externally
+    checked in tests/test_cv2_sfm_parity.py. Returns (R, t), |t| = 1.
+    """
+    from .rotation import exp_so3
+
+    w = weights.astype(x1.dtype)
+    N = x1.shape[0]
+    h1 = jnp.concatenate([x1, jnp.ones((N, 1), x1.dtype)], -1)
+    h2 = jnp.concatenate([x2, jnp.ones((N, 1), x2.dtype)], -1)
+
+    def hat(v):
+        return jnp.array([[0.0, -v[2], v[1]],
+                          [v[2], 0.0, -v[0]],
+                          [-v[1], v[0], 0.0]], v.dtype)
+
+    def residual(p, R, t, u, v):
+        Rp = exp_so3(p[:3]) @ R
+        tp = t + p[3] * u + p[4] * v
+        tp = tp / jnp.sqrt(jnp.sum(tp * tp) + 1e-20)
+        E = hat(tp) @ Rp
+        Ex1 = h1 @ E.T
+        Etx2 = h2 @ E
+        num = jnp.sum(h2 * Ex1, -1)
+        den = (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+               + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2)
+        return w * num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+    def step(carry, _):
+        R, t = carry
+        a = jnp.where(jnp.abs(t[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0], t.dtype),
+                      jnp.array([0.0, 1.0, 0.0], t.dtype))
+        u = jnp.cross(t, a)
+        u = u / jnp.sqrt(jnp.sum(u * u) + 1e-20)
+        v = jnp.cross(t, u)
+        z = jnp.zeros(5, x1.dtype)
+        r0 = residual(z, R, t, u, v)
+        J = jax.jacfwd(residual)(z, R, t, u, v)
+        H = J.T @ J + 1e-9 * jnp.eye(5, dtype=x1.dtype)
+        dp = -jnp.linalg.solve(H, J.T @ r0)
+        Rn = exp_so3(dp[:3]) @ R
+        tn = t + dp[3] * u + dp[4] * v
+        tn = tn / jnp.sqrt(jnp.sum(tn * tn) + 1e-20)
+        return (Rn, tn), jnp.float32(0)
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
