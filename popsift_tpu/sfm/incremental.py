@@ -163,13 +163,71 @@ class IncrementalSfM:
 
     # -- phases ------------------------------------------------------------
 
-    def initialize(self, pair=None) -> tuple:
+    def _solve_pair(self, a: int, b: int):
+        """Two-view solve for a candidate seed pair: essential RANSAC,
+        pose recovery, essential-manifold GN refinement, cheirality
+        re-decomposition, triangulation, and point acceptance.
+
+        Returns (R2, t2, common, good, X, score) or None if the pair is
+        unusable. score = accepted points x median triangulation angle
+        (capped at 5 deg) — co-visibility alone picks ADJACENT frames of
+        a sequence whose near-zero baseline triangulates quasi-infinite
+        depths and destabilizes everything downstream."""
+        from .rotation import hat
+
+        common = self._common_tracks(a, b)
+        if len(common) < 8:
+            return None
+        xa = self.rec.normalized(self._obs_uv(a, common))
+        xb = self.rec.normalized(self._obs_uv(b, common))
+        N = len(common)
+        cap = max(64, 1 << (N - 1).bit_length())
+        valid = np.arange(cap) < N
+        xap, xbp = jnp.asarray(_pad(xa, cap)), jnp.asarray(_pad(xb, cap))
+        res = ransac_essential(self._next_key(), xap, xbp,
+                               jnp.asarray(valid),
+                               thresh=self.reproj_thresh)
+        R2, t2, good = recover_pose(res.model, xap, xbp,
+                                    jnp.asarray(valid) & res.inliers)
+        # GN polish on the essential manifold: the 8-point translation
+        # direction is several degrees off at typical noise; refinement
+        # reaches 5-point-solver accuracy (tests/test_cv2_sfm_parity.py).
+        # The Sampson objective is sign-blind in t, so re-run the
+        # cheirality decomposition on the refined E to re-pick the
+        # in-front-of-both-cameras (R, t) and refresh ``good``.
+        R2, t2 = refine_pose(R2, t2, xap, xbp,
+                             jnp.asarray(valid) & res.inliers)
+        R2, t2, good = recover_pose(hat(t2) @ R2, xap, xbp,
+                                    jnp.asarray(valid) & res.inliers)
+        X = np.asarray(triangulate(jnp.eye(3), jnp.zeros(3), R2, t2,
+                                   xap, xbp))[:N]
+        R2, t2 = np.asarray(R2), np.asarray(t2)
+        good = np.asarray(good)[:N] & self._accept_points(
+            X, [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                 xa), (R2, t2, xb)])
+        if not good.any():
+            return None
+        # triangulation angle between the two observation rays
+        C2 = -(R2.T @ t2)
+        r1 = X[good] / np.maximum(
+            np.linalg.norm(X[good], axis=1, keepdims=True), 1e-12)
+        d2 = X[good] - C2
+        r2 = d2 / np.maximum(np.linalg.norm(d2, axis=1, keepdims=True),
+                             1e-12)
+        ang = np.degrees(np.arccos(np.clip((r1 * r2).sum(1), -1, 1)))
+        score = float(good.sum()) * min(float(np.median(ang)), 5.0)
+        return R2, t2, common, good, X, score
+
+    def initialize(self, pair=None, top_k: int = 8) -> tuple:
         """Pick (or accept) a seed pair, estimate relative pose, and
         triangulate the shared tracks. Returns the pair used.
 
-        The seed search is one sparse co-visibility matmul M @ M.T over
-        the [images x tracks] incidence (scipy CSR) instead of the
-        O(N^2 images) Python set-intersection loop."""
+        The candidate search is one sparse co-visibility matmul M @ M.T
+        over the [images x tracks] incidence (scipy CSR); the ``top_k``
+        most co-visible pairs are then two-view-solved and scored by
+        inliers x triangulation angle (:meth:`_solve_pair`), so a
+        well-conditioned wide-baseline pair beats a marginally more
+        co-visible adjacent one."""
         if pair is None:
             import scipy.sparse as sp
             I = len(self.images)
@@ -183,46 +241,34 @@ class IncrementalSfM:
                 shape=(I, self._n_tracks))
             C = (M @ M.T).toarray()
             C[np.tril_indices(I)] = -1         # j > i only
-            i, j = np.unravel_index(np.argmax(C), C.shape)
-            pair = (self.images[i], self.images[j])
-        a, b = pair
-        common = self._common_tracks(a, b)
-        if len(common) < 8:
-            raise ValueError("seed pair shares fewer than 8 tracks")
+            flat = C.ravel()
+            k = min(top_k, int((flat >= 8).sum()))
+            if k == 0:
+                raise ValueError("no image pair shares >= 8 tracks")
+            top = np.argpartition(flat, -k)[-k:]
+            cands = [tuple(np.unravel_index(t, C.shape)) for t in top]
+            cands = [(self.images[i], self.images[j]) for i, j in cands]
+        else:
+            cands = [tuple(pair)]
 
-        xa = self.rec.normalized(self._obs_uv(a, common))
-        xb = self.rec.normalized(self._obs_uv(b, common))
-        N = len(common)
-        cap = max(64, 1 << (N - 1).bit_length())
-        valid = np.arange(cap) < N
-        res = ransac_essential(self._next_key(),
-                               jnp.asarray(_pad(xa, cap)),
-                               jnp.asarray(_pad(xb, cap)),
-                               jnp.asarray(valid),
-                               thresh=self.reproj_thresh)
-        R2, t2, good = recover_pose(res.model, jnp.asarray(_pad(xa, cap)),
-                                    jnp.asarray(_pad(xb, cap)),
-                                    jnp.asarray(valid) & res.inliers)
-        # GN polish on the essential manifold: the 8-point translation
-        # direction is several degrees off at typical noise; refinement
-        # reaches 5-point-solver accuracy (tests/test_cv2_sfm_parity.py)
-        R2, t2 = refine_pose(R2, t2, jnp.asarray(_pad(xa, cap)),
-                             jnp.asarray(_pad(xb, cap)),
-                             jnp.asarray(valid) & res.inliers)
-        X = triangulate(jnp.eye(3), jnp.zeros(3), R2, t2,
-                        jnp.asarray(_pad(xa, cap)), jnp.asarray(_pad(xb, cap)))
-        X = np.asarray(X)
-        good = np.asarray(good)[:N]
+        best = None
+        for (a, b) in cands:
+            sol = self._solve_pair(a, b)
+            if sol is not None and (best is None or sol[5] > best[1][5]):
+                best = ((a, b), sol)
+        if best is None:
+            raise ValueError("seed pair shares fewer than 8 tracks")
+        (a, b), (R2, t2, common, good, X, _) = best
 
         self.rec.cam_R[a] = np.eye(3, dtype=np.float32)
         self.rec.cam_t[a] = np.zeros(3, np.float32)
-        self.rec.cam_R[b] = np.asarray(R2)
-        self.rec.cam_t[b] = np.asarray(t2)
+        self.rec.cam_R[b] = R2
+        self.rec.cam_t[b] = t2
         self._mark_registered(a)
         self._mark_registered(b)
-        self._add_points(np.asarray(common)[good], X[:N][good])
+        self._add_points(np.asarray(common)[good], X[good])
         self._checkpoint("init")
-        return pair
+        return (a, b)
 
     def _register_one(self, img: int) -> bool:
         """PnP-register a single image against the current points."""
@@ -296,12 +342,28 @@ class IncrementalSfM:
                             jnp.asarray(_pad(xa, cap)),
                             jnp.asarray(_pad(xb, cap)))
             X = np.asarray(X)[:N]
-            # cheirality in both views (vectorized)
-            z1 = (X @ self.rec.cam_R[other].T
-                  + self.rec.cam_t[other])[:, 2]
-            z2 = (X @ self.rec.cam_R[img].T + self.rec.cam_t[img])[:, 2]
-            keep = (z1 > 0) & (z2 > 0)
+            keep = self._accept_points(
+                X, [(self.rec.cam_R[other], self.rec.cam_t[other], xa),
+                    (self.rec.cam_R[img], self.rec.cam_t[img], xb)])
             self._add_points(common[keep], X[keep])
+
+    def _accept_points(self, X, views):
+        """Point-acceptance gate: cheirality AND reprojection agreement
+        in every view. Near-parallel rays triangulate to quasi-infinite
+        depths that pass a bare z>0 test but wreck later PnP and
+        overflow the f32 BA normal equations (observed: single points
+        at ~1e14 px residual freezing every GN step); the reprojection
+        gate (3x the RANSAC inlier distance) removes them at creation."""
+        thr = 9.0 * self.reproj_thresh     # squared normalized coords
+        keep = np.ones(len(X), bool)
+        for R, t, x in views:
+            Xc = X @ np.asarray(R).T + np.asarray(t)
+            z = Xc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = Xc[:, :2] / z[:, None]
+                err = ((proj - np.asarray(x)[:len(X)]) ** 2).sum(1)
+            keep &= (z > 0) & np.isfinite(err) & (err < thr)
+        return keep
 
     def as_ba_problem(self) -> tuple:
         """Pack the current reconstruction into a capacity-padded

@@ -290,7 +290,14 @@ def refine_pose(R, t, x1, x2, weights, iters=10):
         Rn = exp_so3(dp[:3]) @ R
         tn = t + dp[3] * u + dp[4] * v
         tn = tn / jnp.sqrt(jnp.sum(tn * tn) + 1e-20)
-        return (Rn, tn), jnp.float32(0)
+        # accept only cost-decreasing steps (poor man's LM): the
+        # Sampson objective is sign-agnostic in t, and an unguarded GN
+        # step on poorly-conditioned geometry can wander — observed as
+        # a cheirality flip that collapsed 200-camera registration
+        rn = residual(z, Rn, tn, u, v)
+        better = jnp.sum(rn * rn) < jnp.sum(r0 * r0)
+        return (jnp.where(better, Rn, R), jnp.where(better, tn, t)), \
+            jnp.float32(0)
 
     (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
     return R, t
