@@ -61,6 +61,27 @@ def residuals(p: BAProblem):
     return jnp.where(p.obs_valid[:, None], r, 0.0)
 
 
+def robust_cost(r, huber_delta=None):
+    """Total cost of residuals [No, 2]: plain squared L2, or the Huber
+    loss on the per-observation norm when ``huber_delta`` is set."""
+    if huber_delta is None:
+        return jnp.sum(r * r)
+    n2 = jnp.sum(r * r, axis=1)
+    n = jnp.sqrt(n2 + 1e-20)
+    d = jnp.float32(huber_delta)
+    return jnp.sum(jnp.where(n <= d, n2, 2.0 * d * n - d * d))
+
+
+def _huber_sw(r, huber_delta):
+    """sqrt IRLS weights [No, 1] for the Huber loss: w = min(1, d/|r|).
+    Applied to both r and J, one observation's influence on the normal
+    equations saturates at the inlier scale — a single gross outlier
+    (e.g. a mismatched track) can no longer dominate the f32 system."""
+    n = jnp.sqrt(jnp.sum(r * r, axis=1) + 1e-20)
+    d = jnp.float32(huber_delta)
+    return jnp.sqrt(jnp.minimum(1.0, d / n))[:, None]
+
+
 def _jacobians(p: BAProblem):
     """Per-observation Jacobians Jc [No,2,6], Jp [No,2,3] (fwd autodiff)."""
     def one(ci, pi, uv):
@@ -132,8 +153,11 @@ class _SchurOps(NamedTuple):
     Hcc_diag: jnp.ndarray       # [Nc, 6, 6] damped block diagonal
 
 
-def _build_schur(p: BAProblem, lam, psum_axis=None):
+def _build_schur(p: BAProblem, lam, psum_axis=None, sw=None):
     Jc, Jp = _jacobians(p)
+    if sw is not None:               # IRLS sqrt weights [No, 1]
+        Jc = Jc * sw[:, :, None]
+        Jp = Jp * sw[:, :, None]
     Nc = p.cams.shape[0]
     Np = p.points.shape[0]
     Hpp = _seg_sum(jnp.einsum("oki,okj->oij", Jp, Jp), p.obs_pt, Np)
@@ -173,7 +197,7 @@ def _precond(ops: _SchurOps, r):
                             r[..., None])[..., 0]
 
 
-def schur_dense_step(p: BAProblem, lam, psum_axis=None):
+def schur_dense_step(p: BAProblem, lam, psum_axis=None, huber_delta=None):
     """One damped Gauss-Newton step via an EXPLICIT dense reduced camera
     system — the MXU formulation of the Schur complement.
 
@@ -201,10 +225,15 @@ def schur_dense_step(p: BAProblem, lam, psum_axis=None):
     Nc = p.cams.shape[0]
     Np = p.points.shape[0]
     r = residuals(p)
-    cost = jnp.sum(r * r)
+    cost = robust_cost(r, huber_delta)
     if psum_axis is not None:
         cost = jax.lax.psum(cost, psum_axis)
     Jc, Jp = _jacobians(p)
+    if huber_delta is not None:      # IRLS: scale r and J by sqrt(w)
+        sw = _huber_sw(r, huber_delta)
+        r = r * sw
+        Jc = Jc * sw[:, :, None]
+        Jp = Jp * sw[:, :, None]
 
     Hpp = _seg_sum(jnp.einsum("oki,okj->oij", Jp, Jp), p.obs_pt, Np)
     Hcc = _seg_sum(jnp.einsum("oki,okj->oij", Jc, Jc), p.obs_cam, Nc)
@@ -263,13 +292,18 @@ def schur_dense_step(p: BAProblem, lam, psum_axis=None):
     return dc, dp, cost
 
 
-def schur_cg_step(p: BAProblem, lam, cg_iters: int = 25, psum_axis=None):
+def schur_cg_step(p: BAProblem, lam, cg_iters: int = 25, psum_axis=None,
+                  huber_delta=None):
     """One damped Gauss-Newton step. Returns (d_cams, d_points, cost)."""
     r = residuals(p)
-    cost = jnp.sum(r * r)
+    cost = robust_cost(r, huber_delta)
     if psum_axis is not None:
         cost = jax.lax.psum(cost, psum_axis)
-    ops = _build_schur(p, lam, psum_axis=psum_axis)
+    sw = None
+    if huber_delta is not None:
+        sw = _huber_sw(r, huber_delta)
+        r = r * sw
+    ops = _build_schur(p, lam, psum_axis=psum_axis, sw=sw)
 
     g_c = _seg_sum(jnp.einsum("oki,ok->oi", ops.Jc, r), p.obs_cam, ops.Nc)
     if psum_axis is not None:
@@ -324,15 +358,21 @@ def dense_schur_feasible(n_cams: int, n_points: int,
     return n_cams * 6 <= 4096 and n_points * n_cams * 72 <= budget_bytes
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "dense"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "dense",
+                                   "huber_delta"))
 def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
-                  lam0: float = 1e-3, dense: bool | None = None):
+                  lam0: float = 1e-3, dense: bool | None = None,
+                  huber_delta: float | None = None):
     """Levenberg-Marquardt loop (jitted, fixed iteration count).
 
     Accept/reject with damping update: classic LM without host sync.
     ``dense`` selects the MXU dense-Schur direct solve
     (:func:`schur_dense_step`) over matrix-free CG; by default it is on
-    whenever the dense coupling matrix fits memory.
+    whenever the dense coupling matrix fits memory. ``huber_delta``
+    switches the objective to the Huber loss on the per-observation
+    residual norm (IRLS reweighting each GN step), capping any single
+    observation's influence — use when the track set may contain
+    mismatches.
     """
     if dense is None:
         dense = dense_schur_feasible(int(p.cams.shape[0]),
@@ -341,12 +381,14 @@ def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
     def body(state, _):
         prob, lam = state
         if dense:
-            dc, dp, cost = schur_dense_step(prob, lam)
+            dc, dp, cost = schur_dense_step(prob, lam,
+                                            huber_delta=huber_delta)
         else:
-            dc, dp, cost = schur_cg_step(prob, lam, cg_iters=cg_iters)
+            dc, dp, cost = schur_cg_step(prob, lam, cg_iters=cg_iters,
+                                         huber_delta=huber_delta)
         new = prob._replace(cams=prob.cams + dc, points=prob.points + dp)
         new_r = residuals(new)
-        new_cost = jnp.sum(new_r * new_r)
+        new_cost = robust_cost(new_r, huber_delta)
         ok = new_cost < cost           # NaN steps are rejected too
         # accept/reject: only cams/points change
         cams = jnp.where(ok, new.cams, prob.cams)

@@ -402,9 +402,10 @@ class IncrementalSfM:
             cam_fixed=jnp.asarray(fixed))
         return prob, cam_ids, [int(tr) for tr in track_ids]
 
-    def global_ba(self, iters: int = 10):
+    def global_ba(self, iters: int = 10, huber_delta: float | None = None):
         prob, cam_ids, track_ids = self.as_ba_problem()
-        out, costs = bundle_adjust(prob, iters=iters)
+        out, costs = bundle_adjust(prob, iters=iters,
+                                   huber_delta=huber_delta)
         cams = np.asarray(out.cams)
         pts = np.asarray(out.points)
         for i, c in enumerate(cam_ids):
