@@ -38,6 +38,19 @@ def build_parser():
                         "accepted matches (the reference's "
                         "show_distance prints every one, "
                         "features.cu:228-263)")
+    p.add_argument("--geom", choices=["none", "homography", "essential"],
+                   default="none",
+                   help="two-view RANSAC verification of the accepted "
+                        "matches (beyond the reference, which prints "
+                        "raw ratio-test matches only): homography in "
+                        "pixel space, or essential with --fx intrinsics")
+    p.add_argument("--fx", type=float, default=None,
+                   help="focal length in px for --geom essential "
+                        "(principal point defaults to image center)")
+    p.add_argument("--geom-thresh", type=float, default=None,
+                   help="RANSAC inlier gate: px for homography "
+                        "(default 2.0), normalized-coordinate Sampson "
+                        "distance for essential (default 0.01)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -86,14 +99,55 @@ def main(argv=None):
     r_kp = np.asarray(dev_r.raw.desc_kp)
     lx, ly = np.asarray(dev_l.raw.x), np.asarray(dev_l.raw.y)
     rx, ry = np.asarray(dev_r.raw.x), np.asarray(dev_r.raw.y)
+    # optional two-view geometric verification over accepted matches
+    inlier_of_row = None
+    if args.geom != "none" and n_acc >= 8:
+        import jax
+        import jax.numpy as jnp
+        rows = np.nonzero(acc)[0]
+        pl = np.stack([lx[l_kp[rows]], ly[l_kp[rows]]], 1)
+        pr = np.stack([rx[r_kp[bi[rows]]], ry[r_kp[bi[rows]]]], 1)
+        N = len(rows)
+        cap = max(64, 1 << (N - 1).bit_length())
+
+        def pad(a):
+            out = np.zeros((cap, 2), np.float32)
+            out[:N] = a
+            return jnp.asarray(out)
+
+        vmask = jnp.asarray(np.arange(cap) < N)
+        key = jax.random.PRNGKey(0)
+        if args.geom == "homography":
+            from popsift_tpu.sfm.twoview import ransac_homography
+            thr = args.geom_thresh if args.geom_thresh else 2.0
+            g = ransac_homography(key, pad(pl), pad(pr), vmask,
+                                  thresh=thr * thr)
+        else:
+            from popsift_tpu.sfm.twoview import ransac_essential
+            fx = args.fx or float(max(img_l.shape))
+            cx, cy = img_l.shape[1] / 2.0, img_l.shape[0] / 2.0
+            nl = (pl - [cx, cy]) / fx
+            nr = (pr - [cx, cy]) / fx
+            thr = args.geom_thresh if args.geom_thresh else 0.01
+            g = ransac_essential(key, pad(nl), pad(nr), vmask,
+                                 thresh=thr * thr)
+        gi = np.asarray(g.inliers)[:N]
+        print(f"geometric verification ({args.geom}): "
+              f"{int(gi.sum())}/{N} inliers")
+        inlier_of_row = dict(zip(rows.tolist(), gi.tolist()))
+
     limit = args.max_print if args.max_print > 0 else len(valid_rows)
     shown = 0
     for row in valid_rows:
         if not acc[row] or shown >= limit:
             continue
         lk, rk = l_kp[row], r_kp[bi[row]]
+        tag = ""
+        if inlier_of_row is not None:
+            tag = " inlier" if inlier_of_row.get(int(row)) else " outlier"
         print(f"desc {row}: ({lx[lk]:.2f},{ly[lk]:.2f}) -> "
-              f"({rx[rk]:.2f},{ry[rk]:.2f}) d2={bd[row]:.4f} accept")
+              f"({rx[rk]:.2f},{ry[rk]:.2f}) d2={bd[row]:.4f} accept"
+              f"{tag}")
         shown += 1
     return 0
 

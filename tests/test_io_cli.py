@@ -86,3 +86,30 @@ def test_compare_features_tool(tmp_path, small_image):
     r = compare(f1, f1, eps=0.5)
     assert r["parity_pct"] == 100.0
     assert r["mean_rel_desc_dist"] == 0.0
+
+
+def test_match_cli_geometric_verification(tmp_path, medium_image, capsys):
+    """popsift-match end-to-end: ratio-test matching of an image
+    against its shifted copy + two-view RANSAC verification (--geom
+    homography; a pure translation IS a homography, so nearly every
+    ratio-test match must verify as an inlier)."""
+    import numpy as np
+    from popsift_tpu.cli.match import main as match_main
+
+    left = str(tmp_path / "l.pgm")
+    right = str(tmp_path / "r.pgm")
+    shifted = np.roll(medium_image, (3, 5), axis=(0, 1))
+    write_pgm(left, medium_image)
+    write_pgm(right, shifted)
+
+    rc = match_main(["-l", left, "-r", right, "--octaves", "3",
+                     "--geom", "homography", "--max-print", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "accepted matches:" in out
+    line = [l for l in out.splitlines()
+            if l.startswith("geometric verification")][0]
+    frac = line.split(": ")[1].split(" ")[0]
+    inl, tot = map(int, frac.split("/"))
+    assert tot >= 8 and inl / tot >= 0.7, line
+    assert " inlier" in out
