@@ -1,0 +1,301 @@
+"""Global structure-from-motion: rotation + translation averaging.
+
+New capability relative to the reference (which has no SfM at all) and
+to the incremental engine (incremental.py): instead of registering
+cameras one at a time, ALL pairwise relative poses are estimated first
+(two-view RANSAC per view-graph edge), then global camera rotations and
+positions are solved in two batched least-squares problems, followed by
+triangulation and one robust global BA. O(1) solver rounds instead of
+O(N) sequential PnP registrations — the whole pipeline is segment-sums
+and dense solves, which is the TPU-shaped formulation (MXU matmuls, no
+per-camera host loop).
+
+Method: IRLS rotation averaging in the so(3) tangent (the classic
+Chatterjee-Govindu scheme: per-edge residual v_e = log(R_rel R_i R_j^T),
+linear model v_e + a_i - a_j, weighted graph-Laplacian normal equations)
+followed by least-squares translation averaging over the edge direction
+projectors (I - d d^T), with a linear scale constraint pinning the sum
+of projected baselines.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rotation import exp_so3, log_so3
+
+
+@partial(jax.jit, static_argnames=("n", "iters"))
+def rotation_averaging(n: int, ei, ej, R_rel, iters: int = 20,
+                       huber_delta: float = 0.1):
+    """Solve global rotations from pairwise relatives.
+
+    ei, ej: i32[E] edge endpoints; R_rel: f32[E, 3, 3] with the
+    convention R_rel[e] ~= R_j @ R_i^T (world->cam rotations).
+    Returns R f32[n, 3, 3] with R[0] = I (gauge).
+
+    Each IRLS round: per-edge LOCAL-frame tangent residual
+    v_e = log(R_j^T R_rel R_i) (so a right-multiplicative update
+    R_i <- R_i exp(b_i) linearizes to v + b_i - b_j without any
+    edge-dependent rotation of the unknowns — the Govindu trick),
+    Huber weights on ||v_e||, and one dense graph-Laplacian solve
+    L b = -g (b [n, 3] per-camera so(3) updates) — segment-sums +
+    a single [n, n] solve with 3 right-hand sides per round, nothing
+    sequential in the camera count.
+    """
+    E = ei.shape[0]
+    ii = jnp.asarray(ei, jnp.int32)
+    jj = jnp.asarray(ej, jnp.int32)
+
+    def step(R, it):
+        # v_e = log(R_j^T R_rel R_i): tangent misfit in the local frame
+        M = jnp.einsum("eba,ebc,ecd->ead", R[jj], R_rel, R[ii])
+        v = log_so3(M)                                   # [E, 3]
+        vn = jnp.sqrt(jnp.sum(v * v, -1) + 1e-20)
+        # annealed Huber IRLS: start permissive so the graph stays
+        # effectively connected, tighten as the estimate converges
+        # (fixed-delta runs plateau ~8x worse; truncation from round 0
+        # disconnects chain edges and diverges — measured round 3)
+        delta = jnp.maximum(huber_delta * 0.7 ** it, huber_delta / 10)
+        w = jnp.minimum(1.0, delta / vn)
+        # weighted Laplacian L and gradient g (model v + b_i - b_j)
+        L = jnp.zeros((n, n), jnp.float32)
+        L = L.at[ii, jj].add(-w).at[jj, ii].add(-w)
+        L = L.at[ii, ii].add(w).at[jj, jj].add(w)
+        g = jnp.zeros((n, 3), jnp.float32)
+        g = g.at[ii].add(w[:, None] * v).at[jj].add(-w[:, None] * v)
+        # gauge: pin camera 0 (large diagonal instead of row removal
+        # keeps the solve shape static)
+        L = L.at[0, 0].add(1e6) + 1e-6 * jnp.eye(n)
+        b = jnp.linalg.solve(L, -g)                      # [n, 3]
+        R = jnp.einsum("nab,nbc->nac", R, exp_so3(b))
+        return R, jnp.sum(w * vn * vn)
+
+    R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    R, costs = jax.lax.scan(step, R0, jnp.arange(iters, dtype=jnp.float32))
+    # re-gauge exactly: R <- R R_0^T so camera 0 is the identity
+    return jnp.einsum("nab,cb->nac", R, R[0]), costs
+
+
+@partial(jax.jit, static_argnames=("n", "iters"))
+def translation_averaging(n: int, ei, ej, d_world, iters: int = 12,
+                          huber_delta: float = 0.1):
+    """Solve camera centers C [n, 3] from edge directions.
+
+    d_world: f32[E, 3] unit direction of (C_j - C_i) in world
+    coordinates. Minimizes sum_e w_e ||(I - d d^T)(C_j - C_i)||^2 with
+    C_0 = 0 (gauge) and the scale pinned by the weighted linear
+    constraint sum_e w_e d_e . (C_j - C_i) = sum_e w_e (penalty row).
+    IRLS weights use the ANGULAR residual |perp| / |C_j - C_i| — an
+    absolute-perpendicular residual would down-weight exactly the
+    long-baseline edges that constrain the solution best — with the
+    same annealed-delta schedule as rotation averaging. One dense
+    [3n, 3n] solve per round.
+    """
+    E = ei.shape[0]
+    ii = jnp.asarray(ei, jnp.int32)
+    jj = jnp.asarray(ej, jnp.int32)
+    d = d_world / jnp.maximum(
+        jnp.linalg.norm(d_world, axis=1, keepdims=True), 1e-12)
+    P = jnp.eye(3)[None] - jnp.einsum("ea,eb->eab", d, d)   # [E,3,3]
+
+    def solve(w):
+        Pw = P * w[:, None, None]
+        H = jnp.zeros((n, 3, n, 3), jnp.float32)
+        H = H.at[ii, :, ii, :].add(Pw).at[jj, :, jj, :].add(Pw)
+        H = H.at[ii, :, jj, :].add(-Pw).at[jj, :, ii, :].add(-Pw)
+        H = H.reshape(3 * n, 3 * n)
+        # scale penalty: mu (sum_e w_e d.(C_j - C_i) - sum_e w_e)^2
+        sw = w[:, None] * d
+        s = jnp.zeros((n, 3), jnp.float32)
+        s = s.at[jj].add(sw).at[ii].add(-sw)
+        s = s.reshape(-1)
+        mu = jnp.float32(1.0)
+        H = H + mu * jnp.outer(s, s)
+        rhs = mu * jnp.sum(w) * s
+        # gauge: pin C_0
+        idx = jnp.arange(3)
+        H = H.at[idx, idx].add(1e6)
+        H = H + 1e-6 * jnp.eye(3 * n)
+        return jnp.linalg.solve(H, rhs).reshape(n, 3)
+
+    def step(w, it):
+        C = solve(w)
+        r = C[jj] - C[ii]
+        blen = jnp.maximum(jnp.linalg.norm(r, axis=1), 1e-6)
+        perp = r - d * jnp.sum(d * r, -1, keepdims=True)
+        ang = jnp.sqrt(jnp.sum(perp * perp, -1) + 1e-20) / blen
+        delta = jnp.maximum(huber_delta * 0.7 ** it, huber_delta / 10)
+        w_new = jnp.minimum(1.0, delta / ang)
+        return w_new, jnp.sum(w * ang * ang)
+
+    w, costs = jax.lax.scan(step, jnp.ones(E, jnp.float32),
+                            jnp.arange(iters, dtype=jnp.float32))
+    return solve(w), costs
+
+
+def global_sfm(tracks, intr, min_covis: int = 30, max_edges: int = 400,
+               seed: int = 0, ba_iters: int = 15,
+               huber_delta: float | None = 2.0):
+    """End-to-end global SfM over a track set.
+
+    1. view-graph edges: image pairs with >= min_covis shared tracks
+       (top ``max_edges`` by co-visibility);
+    2. per-edge two-view solve (essential RANSAC + manifold GN polish,
+       IncrementalSfM._solve_pair);
+    3. rotation averaging -> global R; translation averaging over the
+       edge baseline directions -> camera centers;
+    4. triangulation of every track from its two widest-baseline
+       observations + robust (Huber) global bundle adjustment.
+
+    Returns an IncrementalSfM whose reconstruction is fully populated —
+    checkpointing, evaluation, and further BA reuse the same machinery.
+    """
+    import scipy.sparse as sp
+
+    from .incremental import IncrementalSfM
+
+    drv = IncrementalSfM(tracks, intr, seed=seed)
+    images = drv.images
+    n = len(images)
+
+    rows = np.concatenate(
+        [np.full(len(drv._img_tracks[img]), k, np.int64)
+         for k, img in enumerate(images)])
+    cols = np.concatenate([drv._img_tracks[img] for img in images])
+    M = sp.csr_matrix((np.ones(len(rows), np.int32), (rows, cols)),
+                      shape=(n, drv._n_tracks))
+    C = (M @ M.T).toarray()
+    C[np.tril_indices(n)] = 0
+    cand = np.argwhere(C >= min_covis)
+    order = np.argsort(-C[cand[:, 0], cand[:, 1]])
+    cand = cand[order[:max_edges]]
+
+    ei, ej, Rr, tw = [], [], [], []
+    for i, j in cand:
+        sol = drv._solve_pair(images[i], images[j])
+        if sol is None:
+            continue
+        R2, t2 = sol[0], sol[1]
+        ei.append(i)
+        ej.append(j)
+        Rr.append(R2)                 # R_rel = R_j R_i^T convention
+        tw.append(t2)
+    if len(ei) < n - 1:
+        raise ValueError("view graph too sparse for global SfM")
+    ei = np.asarray(ei, np.int32)
+    ej = np.asarray(ej, np.int32)
+    Rr = np.stack(Rr).astype(np.float32)
+    tw = np.stack(tw).astype(np.float32)
+
+    R, _ = rotation_averaging(n, jnp.asarray(ei), jnp.asarray(ej),
+                              jnp.asarray(Rr))
+    R = np.asarray(R)
+    # edge baseline direction in world coords: C_j - C_i ~ -R_j^T t_rel
+    # with t_rel re-expressed against the AVERAGED global rotations
+    # (R_glob_j = R_rel R_glob_i up to noise)
+    d = -np.einsum("eba,eb->ea", R[ej], tw)
+    d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+
+    # Camera-point BEARING constraints: with rotations known, every
+    # observation fixes the world direction camera -> point,
+    # u = R_i^T [x, y, 1]^. Camera-camera directions alone are
+    # DEGENERATE for near-collinear trajectories (a straight-line
+    # sequence satisfies every (I - dd^T)(C_j - C_i) = 0 at ANY
+    # per-segment spacing; measured: ATE 2.7 on the 40-cam sequence);
+    # points off the path restore the spacing. Points join the same
+    # solve as extra graph nodes — translation_averaging is already
+    # direction-generic.
+    track_ids = np.unique(np.asarray(tracks.track_id, np.int64))
+    tr_pos = {int(t): n + k for k, t in enumerate(track_ids)}
+    bi, bj, bu = [], [], []
+    for k, img in enumerate(images):
+        trs = drv._img_tracks[img]
+        uv = drv.rec.normalized(
+            np.asarray(tracks.uv)[drv._img_rows_sorted[img]])
+        rays = np.concatenate(
+            [uv, np.ones((len(uv), 1), np.float32)], axis=1)
+        u = rays @ R[k]                       # R_i^T applied row-wise
+        u = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True),
+                           1e-12)
+        bi.extend([k] * len(trs))
+        bj.extend(tr_pos[int(t)] for t in trs)
+        bu.append(u)
+    ntot = n + len(track_ids)
+    ei_all = np.concatenate([ei, np.asarray(bi, np.int32)])
+    ej_all = np.concatenate([ej, np.asarray(bj, np.int32)])
+    d_all = np.concatenate([d, np.concatenate(bu)]).astype(np.float32)
+    Cc, _ = translation_averaging(ntot, jnp.asarray(ei_all),
+                                  jnp.asarray(ej_all),
+                                  jnp.asarray(d_all))
+    Cc = np.asarray(Cc)[:n]
+
+    for k, img in enumerate(images):
+        drv.rec.cam_R[img] = R[k].astype(np.float32)
+        drv.rec.cam_t[img] = (-R[k] @ Cc[k]).astype(np.float32)
+        drv._mark_registered(img)
+
+    # round 1: loose acceptance (averaged positions are pre-BA
+    # estimates; the standard 3x gate would reject most structure and
+    # leave BA under-constrained) -> robust BA -> re-triangulate the
+    # remaining tracks at the standard gate -> final BA
+    _triangulate_all(drv, mult=400.0)
+    drv.global_ba(iters=ba_iters, huber_delta=huber_delta)
+    _triangulate_all(drv, mult=9.0)
+    drv.global_ba(iters=ba_iters, huber_delta=huber_delta)
+    return drv
+
+
+def _triangulate_all(drv, mult: float = 9.0):
+    """Triangulate every track from its two widest-baseline registered
+    observations, batched through twoview.triangulate, gated by the
+    incremental engine's acceptance test (``mult`` = squared-distance
+    gate multiplier)."""
+    from .incremental import _pad
+    from .twoview import triangulate
+
+    img_of_pos = {k: img for k, img in enumerate(drv.images)}
+    # per-track observing image positions from the CSR index
+    t1, t2, tid = [], [], []
+    for tr in range(drv._n_tracks):
+        span = drv._tr_img_pos[drv._tr_ptr[tr]:drv._tr_ptr[tr + 1]]
+        if len(span) < 2:
+            continue
+        # widest baseline pair among (up to) the first/last observers
+        a, b = int(span[0]), int(span[-1])
+        if a == b:
+            continue
+        t1.append(a)
+        t2.append(b)
+        tid.append(tr)
+    if not tid:
+        return
+    t1 = np.asarray(t1)
+    t2 = np.asarray(t2)
+    tid = np.asarray(tid, np.int64)
+
+    # group by (a, b) image pair for batched triangulation
+    keys = t1.astype(np.int64) * len(drv.images) + t2
+    order = np.argsort(keys, kind="stable")
+    t1, t2, tid, keys = t1[order], t2[order], tid[order], keys[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(keys) != 0])
+    ends = np.r_[starts[1:], len(keys)]
+    for s, e in zip(starts, ends):
+        a, b = img_of_pos[int(t1[s])], img_of_pos[int(t2[s])]
+        trs = tid[s:e]
+        xa = drv.rec.normalized(drv._obs_uv(a, trs))
+        xb = drv.rec.normalized(drv._obs_uv(b, trs))
+        N = len(trs)
+        cap = max(16, 1 << (N - 1).bit_length())
+        X = np.asarray(triangulate(
+            jnp.asarray(drv.rec.cam_R[a]), jnp.asarray(drv.rec.cam_t[a]),
+            jnp.asarray(drv.rec.cam_R[b]), jnp.asarray(drv.rec.cam_t[b]),
+            jnp.asarray(_pad(xa, cap)), jnp.asarray(_pad(xb, cap))))[:N]
+        keep = drv._accept_points(
+            X, [(drv.rec.cam_R[a], drv.rec.cam_t[a], xa),
+                (drv.rec.cam_R[b], drv.rec.cam_t[b], xb)], mult=mult)
+        drv._add_points(trs[keep], X[keep])

@@ -347,14 +347,17 @@ class IncrementalSfM:
                     (self.rec.cam_R[img], self.rec.cam_t[img], xb)])
             self._add_points(common[keep], X[keep])
 
-    def _accept_points(self, X, views):
+    def _accept_points(self, X, views, mult: float = 9.0):
         """Point-acceptance gate: cheirality AND reprojection agreement
         in every view. Near-parallel rays triangulate to quasi-infinite
         depths that pass a bare z>0 test but wreck later PnP and
         overflow the f32 BA normal equations (observed: single points
         at ~1e14 px residual freezing every GN step); the reprojection
-        gate (3x the RANSAC inlier distance) removes them at creation."""
-        thr = 9.0 * self.reproj_thresh     # squared normalized coords
+        gate (3x the RANSAC inlier distance by default; ``mult`` is the
+        squared-distance multiplier, loosened by the global-SfM
+        bootstrap whose camera positions are pre-BA estimates) removes
+        them at creation."""
+        thr = mult * self.reproj_thresh    # squared normalized coords
         keep = np.ones(len(X), bool)
         for R, t, x in views:
             Xc = X @ np.asarray(R).T + np.asarray(t)

@@ -1,0 +1,103 @@
+"""Global SfM: rotation averaging, translation averaging, end-to-end."""
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, "tests")
+
+from popsift_tpu.sfm.evaluate import ate_rmse
+from popsift_tpu.sfm.global_sfm import (global_sfm, rotation_averaging,
+                                        translation_averaging)
+from popsift_tpu.sfm.rotation import exp_so3
+
+
+def _rand_rot(rng, scale=1.0):
+    return np.asarray(exp_so3(jnp.asarray(
+        rng.normal(0, scale, 3).astype(np.float32))))
+
+
+def _graph(rng, n, extra=4):
+    """Connected random graph: chain + ``extra`` random edges/node."""
+    ei = list(range(n - 1))
+    ej = list(range(1, n))
+    for _ in range(extra * n):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            ei.append(min(i, j))
+            ej.append(max(i, j))
+    return np.asarray(ei, np.int32), np.asarray(ej, np.int32)
+
+
+def test_rotation_averaging_noise_and_outliers():
+    rng = np.random.default_rng(0)
+    n = 30
+    R_gt = np.stack([_rand_rot(rng) for _ in range(n)])
+    ei, ej = _graph(rng, n)
+    E = len(ei)
+    R_rel = np.einsum("eab,ecb->eac", R_gt[ej], R_gt[ei])  # R_j R_i^T
+    # per-edge noise ~0.5 deg + 10% gross outlier edges
+    noise = np.stack([_rand_rot(rng, 0.005) for _ in range(E)])
+    R_rel = np.einsum("eab,ebc->eac", noise, R_rel)
+    bad = rng.choice(E, E // 10, replace=False)
+    R_rel[bad] = np.stack([_rand_rot(rng) for _ in bad])
+
+    R, costs = rotation_averaging(n, jnp.asarray(ei), jnp.asarray(ej),
+                                  jnp.asarray(R_rel.astype(np.float32)))
+    R = np.asarray(R)
+    # both sides gauged to camera 0 = identity
+    R_ref = np.einsum("nab,cb->nac", R_gt, R_gt[0])
+    cos = (np.einsum("nab,nab->n", R, R_ref) - 1) / 2
+    errs = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    assert np.median(errs) < 0.5, np.median(errs)
+    assert np.max(errs) < 3.0, np.max(errs)
+
+
+def test_translation_averaging_noise_and_outliers():
+    rng = np.random.default_rng(1)
+    n = 30
+    C_gt = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    ei, ej = _graph(rng, n)
+    E = len(ei)
+    d = C_gt[ej] - C_gt[ei]
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    d += rng.normal(0, 0.005, d.shape)
+    bad = rng.choice(E, E // 10, replace=False)
+    d[bad] = rng.normal(0, 1, (len(bad), 3))
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    C, _ = translation_averaging(n, jnp.asarray(ei), jnp.asarray(ej),
+                                 jnp.asarray(d.astype(np.float32)))
+    C = np.asarray(C)
+    from popsift_tpu.sfm.evaluate import umeyama
+    s, R, t = umeyama(C, C_gt)
+    errs = np.linalg.norm(C @ (s * R).T + t - C_gt, axis=1)
+    spread = np.linalg.norm(C_gt - C_gt.mean(0), axis=1).mean()
+    # translation averaging is the INITIALIZER for the robust global BA
+    # (a node whose edges are majority-outlier is not recoverable from
+    # directions alone); the bar here is bulk accuracy + bounded worst
+    # case, final accuracy is asserted by test_global_sfm_end_to_end
+    assert np.median(errs) < 0.05 * spread, (np.median(errs), spread)
+    assert np.sqrt((errs ** 2).mean()) < 0.2 * spread
+
+
+def test_global_sfm_end_to_end():
+    """40-camera synthetic sequence through the full global pipeline
+    (view graph -> two-view solves -> averaging -> triangulation ->
+    robust BA); same ATE bar as the incremental engine."""
+    from test_sfm_scale import INTR, make_sequence, tracks_from_vis
+
+    rng = np.random.default_rng(2)
+    n_cams = 40
+    X, cams, kps, vis = make_sequence(rng, n_cams=n_cams)
+    tracks = tracks_from_vis(kps, vis)
+
+    drv = global_sfm(tracks, INTR, min_covis=30, max_edges=120)
+    reg = sorted(drv.rec.registered)
+    assert len(reg) == n_cams
+    C_est = np.stack([-(drv.rec.cam_R[i].T @ drv.rec.cam_t[i])
+                      for i in reg])
+    C_gt = np.stack([-(cams[i][0].T @ cams[i][1]) for i in reg])
+    rmse = ate_rmse(C_est, C_gt)
+    assert rmse < 0.5, f"ATE {rmse}"
