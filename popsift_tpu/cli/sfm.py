@@ -30,6 +30,13 @@ def build_parser():
     p.add_argument("--ratio", type=float, default=0.8)
     p.add_argument("--min-track-length", type=int, default=2)
     p.add_argument("--ba-iters", type=int, default=10)
+    p.add_argument("--global", dest="global_mode", action="store_true",
+                   help="global SfM (rotation + translation averaging "
+                        "over the whole view graph, then robust BA) "
+                        "instead of incremental registration")
+    p.add_argument("--min-covis", type=int, default=30,
+                   help="min shared tracks for a view-graph edge "
+                        "(--global)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--export", default="reconstruction.npz",
                    help="output reconstruction checkpoint")
@@ -104,17 +111,28 @@ def main(argv=None):
         print("too few tracks for reconstruction", file=sys.stderr)
         return 1
 
-    sfm = IncrementalSfM(tracks, intr,
-                         checkpoint_dir=args.checkpoint_dir)
-    pair = sfm.initialize()
-    print(f"seed pair: {pair}, points: {len(sfm.rec.points)}")
-    while (img := sfm.register_next()) is not None:
-        print(f"registered image {img} "
-              f"({len(sfm.rec.points)} points)")
-    costs = sfm.global_ba(iters=args.ba_iters)
-    print(f"final BA cost: {float(costs[-1]):.4f} "
-          f"({len(sfm.rec.registered)}/{n} cameras, "
-          f"{len(sfm.rec.points)} points)")
+    if args.global_mode:
+        from popsift_tpu.sfm.global_sfm import global_sfm
+        try:
+            sfm = global_sfm(tracks, intr, min_covis=args.min_covis,
+                             ba_iters=args.ba_iters)
+        except ValueError as e:      # sparse view graph
+            print(f"global SfM failed: {e}", file=sys.stderr)
+            return 1
+        print(f"global SfM: {len(sfm.rec.registered)}/{n} cameras, "
+              f"{len(sfm.rec.points)} points")
+    else:
+        sfm = IncrementalSfM(tracks, intr,
+                             checkpoint_dir=args.checkpoint_dir)
+        pair = sfm.initialize()
+        print(f"seed pair: {pair}, points: {len(sfm.rec.points)}")
+        while (img := sfm.register_next()) is not None:
+            print(f"registered image {img} "
+                  f"({len(sfm.rec.points)} points)")
+        costs = sfm.global_ba(iters=args.ba_iters)
+        print(f"final BA cost: {float(costs[-1]):.4f} "
+              f"({len(sfm.rec.registered)}/{n} cameras, "
+              f"{len(sfm.rec.points)} points)")
 
     import os
     import shutil

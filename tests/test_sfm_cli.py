@@ -12,7 +12,8 @@ from popsift_tpu.io.image import write_pgm
 
 
 @pytest.mark.slow
-def test_sfm_cli_smoke(tmp_path):
+@pytest.mark.parametrize("mode", ["incremental", "global"])
+def test_sfm_cli_smoke(tmp_path, mode):
     rng = np.random.default_rng(11)
     h, w = 120, 160
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
@@ -36,10 +37,12 @@ def test_sfm_cli_smoke(tmp_path):
     write_pgm(p1, base)
     write_pgm(p2, warped)
 
+    extra = (["--global", "--min-covis", "8"]
+             if mode == "global" else [])
     res = subprocess.run(
         [sys.executable, "-m", "popsift_tpu.cli.sfm",
          "-i", p1, p2, "--fx", "200", "-v",
-         "--export", str(tmp_path / "rec.npz")],
+         "--export", str(tmp_path / "rec.npz")] + extra,
         capture_output=True, text=True, timeout=900,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
              "PYTHONPATH": "."})
