@@ -120,6 +120,52 @@ def main():
         "note": "explicit dense reduced system on the MXU + direct "
                 "solve (exact step, no CG tolerance)"})
 
+    # --- global SfM: rotation + translation averaging -----------------
+    from popsift_tpu.sfm.global_sfm import (rotation_averaging,
+                                            translation_averaging)
+    from popsift_tpu.sfm.rotation import exp_so3
+
+    ncam = 512
+    rng = np.random.default_rng(0)
+    R_gt = np.asarray(exp_so3(jnp.asarray(
+        rng.normal(0, 1, (ncam, 3)).astype(np.float32))))
+    ei = np.concatenate([np.arange(ncam - 1),
+                         rng.integers(0, ncam - 1, 4 * ncam)])
+    ej = np.concatenate([np.arange(1, ncam),
+                         (ei[ncam - 1:] + 1
+                          + rng.integers(0, ncam // 2, 4 * ncam))
+                         % ncam])
+    keep = ei != ej
+    ei, ej = np.minimum(ei, ej)[keep], np.maximum(ei, ej)[keep]
+    Rrel = np.einsum("eab,ecb->eac", R_gt[ej], R_gt[ei]).astype(
+        np.float32)
+    ra = jax.jit(lambda r: rotation_averaging(
+        ncam, jnp.asarray(ei), jnp.asarray(ej), r)[0])
+    np.asarray(ra(jnp.asarray(Rrel)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        np.asarray(ra(jnp.asarray(Rrel + i * 1e-30)))
+    dt = (time.perf_counter() - t0) / reps
+    results.append({
+        "metric": f"rotation_averaging_{ncam}cams_{len(ei)}edges",
+        "value": round(dt * 1000, 2), "unit": "ms",
+        "note": "20 IRLS rounds, one [n,n] Laplacian solve each"})
+
+    C_gt = rng.uniform(-5, 5, (ncam, 3)).astype(np.float32)
+    d = C_gt[ej] - C_gt[ei]
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    ta = jax.jit(lambda dd: translation_averaging(
+        ncam, jnp.asarray(ei), jnp.asarray(ej), dd)[0])
+    np.asarray(ta(jnp.asarray(d)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        np.asarray(ta(jnp.asarray(d + i * 1e-30)))
+    dt = (time.perf_counter() - t0) / reps
+    results.append({
+        "metric": f"translation_averaging_{ncam}cams_{len(ei)}edges",
+        "value": round(dt * 1000, 2), "unit": "ms",
+        "note": "12 IRLS rounds, one [3n,3n] solve each"})
+
     for r in results:
         print(json.dumps(r))
 
