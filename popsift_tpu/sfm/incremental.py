@@ -143,6 +143,52 @@ class IncrementalSfM:
                      for tr in track_ids]
             np.add.at(self._seen, np.concatenate(spans), 1)
 
+    def _drop_points(self, track_ids):
+        """Remove points and roll back the per-image seen counts."""
+        track_ids = np.asarray(track_ids, np.int64)
+        track_ids = track_ids[self._pt_known[track_ids]]
+        for tr in track_ids:
+            del self.rec.points[int(tr)]
+        self._pt_known[track_ids] = False
+        if len(track_ids):
+            spans = [self._tr_img_pos[self._tr_ptr[tr]:self._tr_ptr[tr + 1]]
+                     for tr in track_ids]
+            np.add.at(self._seen, np.concatenate(spans), -1)
+
+    def cull_points(self, max_err_px: float = 4.0) -> int:
+        """Drop points whose WORST reprojection error over the
+        registered observations exceeds ``max_err_px`` pixels.
+        Returns the number of points dropped. (The reference has no
+        SfM; this is the COLMAP-style post-BA observation filter.)"""
+        from .ba import residuals
+
+        prob, cam_ids, track_ids = self.as_ba_problem()
+        track_ids = np.asarray(track_ids, np.int64)
+        if len(track_ids) == 0:
+            return 0
+        r = np.asarray(residuals(prob))
+        err = np.sqrt((r ** 2).sum(1))
+        worst = np.zeros(len(track_ids), np.float32)
+        np.maximum.at(worst, np.asarray(prob.obs_pt), err)
+        bad = track_ids[worst > max_err_px]
+        self._drop_points(bad)
+        return len(bad)
+
+    def refine(self, rounds: int = 2, max_err_px: float = 4.0,
+               ba_iters: int = 8, huber_delta: float | None = 2.0):
+        """Iterative refinement: robust BA -> cull gross points ->
+        retriangulate their tracks -> repeat. Cleans up the structure
+        drift a long incremental run accumulates."""
+        from .global_sfm import _triangulate_all
+
+        for _ in range(rounds):
+            self.global_ba(iters=ba_iters, huber_delta=huber_delta)
+            n_bad = self.cull_points(max_err_px)
+            _triangulate_all(self)
+            if n_bad == 0:
+                break
+        return self.global_ba(iters=ba_iters, huber_delta=huber_delta)
+
     def _mark_registered(self, img: int):
         self._reg_mask[self._img_pos[img]] = True
         self.rec.registered.append(img)

@@ -180,3 +180,35 @@ os._exit(17)    # simulated crash mid-run: no cleanup, no final BA
     np.testing.assert_allclose(centers(sfm.rec), centers(ref.rec),
                                atol=1e-3)
     assert len(sfm.rec.points) == len(ref.rec.points)
+
+
+def test_refine_culls_corrupted_points():
+    """Iterative refinement (BA -> cull -> retriangulate -> BA) removes
+    planted gross structure errors and restores them by
+    retriangulation, keeping the ATE bound."""
+    rng = np.random.default_rng(9)
+    n_pts, n_cams = 80, 5
+    X, cams, kps = make_multiview(rng, n_pts=n_pts, n_cams=n_cams,
+                                  noise=0.3)
+    tracks = tracks_from_gt(kps, n_pts)
+    sfm = IncrementalSfM(tracks, INTR)
+    sfm.initialize()
+    while sfm.register_next() is not None:
+        pass
+    sfm.global_ba(iters=8)
+    n_before = len(sfm.rec.points)
+
+    # corrupt 10 reconstructed points
+    bad = list(sfm.rec.points)[:10]
+    for tr in bad:
+        sfm.rec.points[tr] = sfm.rec.points[tr] + np.float32(3.0)
+    assert sfm.cull_points(max_err_px=4.0) >= 8   # detects the damage
+
+    sfm2 = sfm  # refine retriangulates the culled tracks
+    sfm2.refine(rounds=2)
+    assert len(sfm2.rec.points) >= n_before - 2
+
+    C_est = np.stack([-(sfm2.rec.cam_R[i].T @ sfm2.rec.cam_t[i])
+                      for i in range(n_cams)])
+    C_gt = np.stack([-(R.T @ t) for R, t in cams])
+    assert ate_rmse(C_est, C_gt) < 0.05
