@@ -40,6 +40,12 @@ def build_parser():
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--export", default="reconstruction.npz",
                    help="output reconstruction checkpoint")
+    p.add_argument("--export-colmap", default=None, metavar="DIR",
+                   help="also write a COLMAP sparse text model "
+                        "(cameras/images/points3D.txt) to DIR")
+    p.add_argument("--export-ply", default=None, metavar="FILE",
+                   help="also write the sparse cloud + camera centers "
+                        "as ASCII PLY")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -141,6 +147,19 @@ def main(argv=None):
     if os.path.abspath(ckpt) != os.path.abspath(args.export):
         shutil.copyfile(ckpt, args.export)   # the documented output path
     print(f"reconstruction written to {args.export}")
+    if args.export_colmap:
+        from popsift_tpu.sfm.export import write_colmap_text
+        names = {i: os.path.basename(p)
+                 for i, p in enumerate(args.images)}
+        write_colmap_text(sfm.rec, args.export_colmap,
+                          image_size=(imgs[0].shape[1],
+                                      imgs[0].shape[0]),
+                          image_names=names, tracks=tracks)
+        print(f"COLMAP model written to {args.export_colmap}")
+    if args.export_ply:
+        from popsift_tpu.sfm.export import write_ply
+        write_ply(sfm.rec, args.export_ply)
+        print(f"PLY written to {args.export_ply}")
     return 0
 
 

@@ -38,7 +38,9 @@ def test_sfm_cli_smoke(tmp_path, mode):
     write_pgm(p2, warped)
 
     extra = (["--global", "--min-covis", "8"]
-             if mode == "global" else [])
+             if mode == "global" else
+             ["--export-colmap", str(tmp_path / "sparse"),
+              "--export-ply", str(tmp_path / "cloud.ply")])
     res = subprocess.run(
         [sys.executable, "-m", "popsift_tpu.cli.sfm",
          "-i", p1, p2, "--fx", "200", "-v",
