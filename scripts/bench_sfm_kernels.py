@@ -68,6 +68,27 @@ def main():
         "nn_recall_vs_exact": round(float((exact == pruned).mean()), 4),
         "pairs_per_s": round(1.0 / dtp, 1)})
 
+    # --- int8-quantized matching: native MXU int8 rate ----------------
+    from popsift_tpu.ops.matching import match_descriptors_q8
+    dl8 = jnp.abs(dl)
+    dr8 = jnp.abs(dr)
+    fnq = jax.jit(lambda a, b: match_descriptors_q8(
+        a, vl, b, vr).best_dist)
+    np.asarray(fnq(dl8, dr8))
+    t0 = time.perf_counter()
+    outs = [fnq(dl8 + i * 1e-30, dr8) for i in range(reps)]
+    [np.asarray(o) for o in outs]
+    dtq = (time.perf_counter() - t0) / reps
+    exact8 = np.asarray(jax.jit(lambda a, b: match_descriptors(
+        a, vl, b, vr).best_idx)(dl8, dr8))
+    q8 = np.asarray(jax.jit(lambda a, b: match_descriptors_q8(
+        a, vl, b, vr).best_idx)(dl8, dr8))
+    results.append({
+        "metric": "match_16k_x_16k_int8", "value": round(dtq * 1000, 2),
+        "unit": "ms", "speedup_vs_exact": round(dt / dtq, 2),
+        "nn_recall_vs_exact": round(float((exact8 == q8).mean()), 4),
+        "pairs_per_s": round(1.0 / dtq, 1)})
+
     # --- BA: one damped GN step, 100 cams / 40k points / 200k obs -----
     rng = np.random.default_rng(0)
     nc, npts, nobs = 100, 40_000, 200_000

@@ -172,3 +172,39 @@ def test_matcher_agrees_with_cv2_bfmatcher():
     np.testing.assert_array_equal(np.asarray(got.best_idx), best)
     np.testing.assert_allclose(np.asarray(got.best_dist), d1, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got.accept), accept)
+
+
+def test_q8_matcher_recall_vs_exact():
+    """Int8-quantized matcher agrees with the exact f32 matcher on
+    >= 99% of accepted matches (quantization only flips near-ties),
+    and its int32 distance arithmetic is exact for the quantized
+    values."""
+    from popsift_tpu.ops.matching import match_descriptors_q8
+
+    rng = np.random.default_rng(21)
+    L = 512
+    centers = rng.normal(size=(32, 128)).astype(np.float32)
+    dl = (centers[rng.integers(0, 32, L)]
+          + 0.35 * rng.normal(size=(L, 128))).astype(np.float32)
+    dl = np.abs(dl)
+    dl /= np.linalg.norm(dl, axis=1, keepdims=True)
+    perm = rng.permutation(L)
+    dr = dl[perm] + 0.05 * rng.normal(size=(L, 128)).astype(np.float32)
+    dr = np.abs(dr).astype(np.float32)
+    dr /= np.linalg.norm(dr, axis=1, keepdims=True)
+    vl = np.ones(L, bool)
+    vl[L - 10:] = False
+    vr = np.ones(L, bool)
+    exact = jax.jit(match_descriptors)(dl, vl, dr, vr)
+    q8 = jax.jit(match_descriptors_q8)(dl, vl, dr, vr)
+
+    acc_e = np.asarray(exact.accept)
+    acc_q = np.asarray(q8.accept)
+    assert not acc_q[~vl].any()
+    same_best = (np.asarray(exact.best_idx) == np.asarray(q8.best_idx))
+    agree = (same_best & acc_q)[acc_e].mean()
+    assert agree >= 0.99, agree
+    # dequantized distances track the exact ones
+    b_e = np.asarray(exact.best_dist)[acc_e]
+    b_q = np.asarray(q8.best_dist)[acc_e]
+    np.testing.assert_allclose(b_q, b_e, atol=0.02)
