@@ -51,6 +51,9 @@ def build_parser():
                    help="RANSAC inlier gate: px for homography "
                         "(default 2.0), normalized-coordinate Sampson "
                         "distance for essential (default 0.01)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantized matching (native MXU int8 "
+                        "rate, recall >= 0.99 vs exact)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -60,7 +63,8 @@ def main(argv=None):
     from popsift_tpu.api import PopSift
     from popsift_tpu.config import SiftConfig
     from popsift_tpu.io.image import load_image
-    from popsift_tpu.ops.matching import match_descriptors
+    from popsift_tpu.ops.matching import (match_descriptors,
+                                          match_descriptors_q8)
 
     cfg = SiftConfig(
         octaves=args.octaves, levels=args.levels, sigma=args.sigma,
@@ -82,7 +86,8 @@ def main(argv=None):
     print(f"right: {dev_r.getFeatureCount()} features, "
           f"{dev_r.getDescriptorCount()} descriptors")
 
-    res = match_descriptors(dev_l.raw.desc, dev_l.raw.desc_valid,
+    matcher = match_descriptors_q8 if args.int8 else match_descriptors
+    res = matcher(dev_l.raw.desc, dev_l.raw.desc_valid,
                             dev_r.raw.desc, dev_r.raw.desc_valid,
                             ratio=args.ratio)
     acc = np.asarray(res.accept)

@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--min-covis", type=int, default=30,
                    help="min shared tracks for a view-graph edge "
                         "(--global)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantized pairwise matching (native MXU "
+                        "int8 rate, recall >= 0.99 vs exact)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--export", default="reconstruction.npz",
                    help="output reconstruction checkpoint")
@@ -59,7 +62,8 @@ def main(argv=None):
     from popsift_tpu.eval.repeatability import (
         strongest_descriptor_per_keypoint)
     from popsift_tpu.io.image import load_image
-    from popsift_tpu.ops.matching import match_descriptors
+    from popsift_tpu.ops.matching import (match_descriptors,
+                                          match_descriptors_q8)
     from popsift_tpu.sfm.checkpoint import save_reconstruction
     from popsift_tpu.sfm.incremental import IncrementalSfM
     from popsift_tpu.sfm.tracks import build_tracks
@@ -98,7 +102,9 @@ def main(argv=None):
         for j in range(i + 1, n):
             vi = np.arange(cap) < len(descs[i])
             vj = np.arange(cap) < len(descs[j])
-            res = match_descriptors(
+            matcher = (match_descriptors_q8 if args.int8
+                       else match_descriptors)
+            res = matcher(
                 jnp.asarray(pad_to(descs[i], cap)), jnp.asarray(vi),
                 jnp.asarray(pad_to(descs[j], cap)), jnp.asarray(vj),
                 ratio=args.ratio)
