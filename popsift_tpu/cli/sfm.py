@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--int8", action="store_true",
                    help="int8-quantized pairwise matching (native MXU "
                         "int8 rate, recall >= 0.99 vs exact)")
+    p.add_argument("--retrieval", type=int, default=0, metavar="M",
+                   help="VLAD-retrieval pair shortlist: match only the "
+                        "top-M most similar partners per image instead "
+                        "of all O(N^2) pairs (sfm/retrieval.py)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--export", default="reconstruction.npz",
                    help="output reconstruction checkpoint")
@@ -97,23 +101,33 @@ def main(argv=None):
 
     cap = max(256, 1 << (max(len(d) for d in descs.values()) - 1)
               .bit_length())
+    if args.retrieval > 0:
+        from popsift_tpu.sfm.retrieval import (build_signatures,
+                                               pair_shortlist)
+        sigs = build_signatures(descs)
+        todo = pair_shortlist(sigs, top_m=args.retrieval)
+        if args.verbose:
+            print(f"retrieval shortlist: {len(todo)} of "
+                  f"{n * (n - 1) // 2} pairs")
+    else:
+        todo = [(i, j) for i in range(n) for j in range(i + 1, n)]
+
     pair_matches = {}
-    for i in range(n):
-        for j in range(i + 1, n):
-            vi = np.arange(cap) < len(descs[i])
-            vj = np.arange(cap) < len(descs[j])
-            matcher = (match_descriptors_q8 if args.int8
-                       else match_descriptors)
-            res = matcher(
-                jnp.asarray(pad_to(descs[i], cap)), jnp.asarray(vi),
-                jnp.asarray(pad_to(descs[j], cap)), jnp.asarray(vj),
-                ratio=args.ratio)
-            acc = np.asarray(res.accept)
-            rows = np.nonzero(acc)[0]
-            m = np.stack([rows, np.asarray(res.best_idx)[rows]], axis=1)
-            pair_matches[(i, j)] = m
-            if args.verbose:
-                print(f"pair ({i},{j}): {len(m)} matches")
+    for i, j in todo:
+        vi = np.arange(cap) < len(descs[i])
+        vj = np.arange(cap) < len(descs[j])
+        matcher = (match_descriptors_q8 if args.int8
+                   else match_descriptors)
+        res = matcher(
+            jnp.asarray(pad_to(descs[i], cap)), jnp.asarray(vi),
+            jnp.asarray(pad_to(descs[j], cap)), jnp.asarray(vj),
+            ratio=args.ratio)
+        acc = np.asarray(res.accept)
+        rows = np.nonzero(acc)[0]
+        m = np.stack([rows, np.asarray(res.best_idx)[rows]], axis=1)
+        pair_matches[(i, j)] = m
+        if args.verbose:
+            print(f"pair ({i},{j}): {len(m)} matches")
 
     # 3. tracks + incremental reconstruction
     tracks = build_tracks(pair_matches, kps,
