@@ -65,7 +65,7 @@ def _timed(fn, x, n_frames, iters=3):
     return iters * n_frames / dt, rs[0]
 
 
-def main(h=1080, w=1920, B=16, F=(4, 8)):
+def main(h=1080, w=1920, B=16, F=(4, 8, 16)):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcc")
     import jax.numpy as jnp
