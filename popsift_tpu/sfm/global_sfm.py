@@ -29,14 +29,21 @@ import numpy as np
 from .rotation import exp_so3, log_so3
 
 
-@partial(jax.jit, static_argnames=("n", "iters"))
+@partial(jax.jit, static_argnames=("n", "iters", "psum_axis"))
 def rotation_averaging(n: int, ei, ej, R_rel, iters: int = 20,
-                       huber_delta: float = 0.1):
+                       huber_delta: float = 0.1, valid=None,
+                       psum_axis=None):
     """Solve global rotations from pairwise relatives.
 
     ei, ej: i32[E] edge endpoints; R_rel: f32[E, 3, 3] with the
     convention R_rel[e] ~= R_j @ R_i^T (world->cam rotations).
     Returns R f32[n, 3, 3] with R[0] = I (gauge).
+
+    ``valid`` masks padded edges. With ``psum_axis`` (edges sharded
+    over a mesh axis inside shard_map), each device assembles the
+    Laplacian/gradient from its local edge shard and one psum of
+    ([n, n], [n, 3]) per round forms the global normal equations —
+    the solve itself is replicated (tiny).
 
     Each IRLS round: per-edge LOCAL-frame tangent residual
     v_e = log(R_j^T R_rel R_i) (so a right-multiplicative update
@@ -62,12 +69,17 @@ def rotation_averaging(n: int, ei, ej, R_rel, iters: int = 20,
         # disconnects chain edges and diverges — measured round 3)
         delta = jnp.maximum(huber_delta * 0.7 ** it, huber_delta / 10)
         w = jnp.minimum(1.0, delta / vn)
+        if valid is not None:
+            w = w * valid.astype(jnp.float32)
         # weighted Laplacian L and gradient g (model v + b_i - b_j)
         L = jnp.zeros((n, n), jnp.float32)
         L = L.at[ii, jj].add(-w).at[jj, ii].add(-w)
         L = L.at[ii, ii].add(w).at[jj, jj].add(w)
         g = jnp.zeros((n, 3), jnp.float32)
         g = g.at[ii].add(w[:, None] * v).at[jj].add(-w[:, None] * v)
+        if psum_axis is not None:
+            L = jax.lax.psum(L, psum_axis)
+            g = jax.lax.psum(g, psum_axis)
         # gauge: pin camera 0 (large diagonal instead of row removal
         # keeps the solve shape static)
         L = L.at[0, 0].add(1e6) + 1e-6 * jnp.eye(n)
@@ -81,9 +93,10 @@ def rotation_averaging(n: int, ei, ej, R_rel, iters: int = 20,
     return jnp.einsum("nab,cb->nac", R, R[0]), costs
 
 
-@partial(jax.jit, static_argnames=("n", "iters"))
+@partial(jax.jit, static_argnames=("n", "iters", "psum_axis"))
 def translation_averaging(n: int, ei, ej, d_world, iters: int = 12,
-                          huber_delta: float = 0.1):
+                          huber_delta: float = 0.1, valid=None,
+                          psum_axis=None):
     """Solve camera centers C [n, 3] from edge directions.
 
     d_world: f32[E, 3] unit direction of (C_j - C_i) in world
@@ -103,7 +116,11 @@ def translation_averaging(n: int, ei, ej, d_world, iters: int = 12,
         jnp.linalg.norm(d_world, axis=1, keepdims=True), 1e-12)
     P = jnp.eye(3)[None] - jnp.einsum("ea,eb->eab", d, d)   # [E,3,3]
 
+    vmask = (jnp.ones(E, jnp.float32) if valid is None
+             else valid.astype(jnp.float32))
+
     def solve(w):
+        w = w * vmask
         Pw = P * w[:, None, None]
         H = jnp.zeros((n, 3, n, 3), jnp.float32)
         H = H.at[ii, :, ii, :].add(Pw).at[jj, :, jj, :].add(Pw)
@@ -114,9 +131,14 @@ def translation_averaging(n: int, ei, ej, d_world, iters: int = 12,
         s = jnp.zeros((n, 3), jnp.float32)
         s = s.at[jj].add(sw).at[ii].add(-sw)
         s = s.reshape(-1)
+        w_tot = jnp.sum(w)
+        if psum_axis is not None:
+            H = jax.lax.psum(H, psum_axis)
+            s = jax.lax.psum(s, psum_axis)
+            w_tot = jax.lax.psum(w_tot, psum_axis)
         mu = jnp.float32(1.0)
         H = H + mu * jnp.outer(s, s)
-        rhs = mu * jnp.sum(w) * s
+        rhs = mu * w_tot * s
         # gauge: pin C_0
         idx = jnp.arange(3)
         H = H.at[idx, idx].add(1e6)
@@ -133,7 +155,11 @@ def translation_averaging(n: int, ei, ej, d_world, iters: int = 12,
         w_new = jnp.minimum(1.0, delta / ang)
         return w_new, jnp.sum(w * ang * ang)
 
-    w, costs = jax.lax.scan(step, jnp.ones(E, jnp.float32),
+    # derive the initial weights from vmask so their shard_map
+    # "varying" status matches the step outputs (a plain ones() carry
+    # is replicated and the scan rejects the mismatch)
+    w0 = vmask * 0.0 + 1.0
+    w, costs = jax.lax.scan(step, w0,
                             jnp.arange(iters, dtype=jnp.float32))
     return solve(w), costs
 

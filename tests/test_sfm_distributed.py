@@ -108,3 +108,74 @@ def test_dense_schur_matches_cg():
     _, costs_dist = ba(sh)
     np.testing.assert_allclose(float(costs_dist[-1]), float(costs_d[-1]),
                                rtol=1e-3)
+
+
+def test_distributed_rotation_translation_averaging():
+    """Edge-sharded global averaging on the 8-device mesh reproduces the
+    single-device solution: each device assembles normal equations from
+    its edge shard, one psum per round forms the global system."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from popsift_tpu.sfm.global_sfm import (rotation_averaging,
+                                            translation_averaging)
+    from popsift_tpu.sfm.rotation import exp_so3
+
+    rng = np.random.default_rng(3)
+    n = 24
+    R_gt = np.asarray(exp_so3(jnp.asarray(
+        rng.normal(0, 1, (n, 3)).astype(np.float32))))
+    C_gt = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    ei = list(range(n - 1))
+    ej = list(range(1, n))
+    for _ in range(4 * n):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            ei.append(min(i, j))
+            ej.append(max(i, j))
+    ei = np.asarray(ei, np.int32)
+    ej = np.asarray(ej, np.int32)
+    E = len(ei)
+    R_rel = np.einsum("eab,ecb->eac", R_gt[ej], R_gt[ei]) \
+        .astype(np.float32)
+    d = C_gt[ej] - C_gt[ei]
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    # pad edges to a multiple of 8 with masked (0, 0) self-loops
+    Ep = -(-E // 8) * 8
+    pad = Ep - E
+    eip = np.concatenate([ei, np.zeros(pad, np.int32)])
+    ejp = np.concatenate([ej, np.zeros(pad, np.int32)])
+    Rp = np.concatenate([R_rel, np.tile(np.eye(3, dtype=np.float32),
+                                        (pad, 1, 1))])
+    dp = np.concatenate([d, np.tile(np.float32([1, 0, 0]), (pad, 1))])
+    vp = np.arange(Ep) < E
+
+    mesh = make_mesh(8, axis_name="e")
+    rot_sh = shard_map(
+        lambda a, b, c, v: rotation_averaging(
+            n, a, b, c, valid=v, psum_axis="e"),
+        mesh=mesh, in_specs=(P("e"), P("e"), P("e"), P("e")),
+        out_specs=(P(), P("e")))
+    R_dist, _ = rot_sh(jnp.asarray(eip), jnp.asarray(ejp),
+                       jnp.asarray(Rp), jnp.asarray(vp))
+    R_ref, _ = rotation_averaging(n, jnp.asarray(eip), jnp.asarray(ejp),
+                                  jnp.asarray(Rp),
+                                  valid=jnp.asarray(vp))
+    np.testing.assert_allclose(np.asarray(R_dist), np.asarray(R_ref),
+                               atol=2e-4)
+
+    tr_sh = shard_map(
+        lambda a, b, c, v: translation_averaging(
+            n, a, b, c, valid=v, psum_axis="e"),
+        mesh=mesh, in_specs=(P("e"), P("e"), P("e"), P("e")),
+        out_specs=(P(), P("e")))
+    C_dist, _ = tr_sh(jnp.asarray(eip), jnp.asarray(ejp),
+                      jnp.asarray(dp), jnp.asarray(vp))
+    C_ref, _ = translation_averaging(n, jnp.asarray(eip),
+                                     jnp.asarray(ejp), jnp.asarray(dp),
+                                     valid=jnp.asarray(vp))
+    np.testing.assert_allclose(np.asarray(C_dist), np.asarray(C_ref),
+                               atol=2e-3)
+    assert ate_rmse(np.asarray(C_dist), C_gt) < 0.05
