@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--int8", action="store_true",
                    help="int8-quantized pairwise matching (native MXU "
                         "int8 rate, recall >= 0.99 vs exact)")
+    p.add_argument("--refine", action="store_true",
+                   help="iterative refinement after reconstruction "
+                        "(robust BA -> cull gross points -> "
+                        "retriangulate, 2 rounds)")
     p.add_argument("--retrieval", type=int, default=0, metavar="M",
                    help="VLAD-retrieval pair shortlist: match only the "
                         "top-M most similar partners per image instead "
@@ -159,6 +163,10 @@ def main(argv=None):
         print(f"final BA cost: {float(costs[-1]):.4f} "
               f"({len(sfm.rec.registered)}/{n} cameras, "
               f"{len(sfm.rec.points)} points)")
+    if args.refine and sfm.rec.registered:
+        costs = sfm.refine()
+        print(f"refined BA cost: {float(costs[-1]):.4f} "
+              f"({len(sfm.rec.points)} points)")
 
     import os
     import shutil

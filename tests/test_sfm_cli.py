@@ -40,7 +40,8 @@ def test_sfm_cli_smoke(tmp_path, mode):
     extra = (["--global", "--min-covis", "8"]
              if mode == "global" else
              ["--export-colmap", str(tmp_path / "sparse"),
-              "--export-ply", str(tmp_path / "cloud.ply")])
+              "--export-ply", str(tmp_path / "cloud.ply"),
+              "--refine"])
     res = subprocess.run(
         [sys.executable, "-m", "popsift_tpu.cli.sfm",
          "-i", p1, p2, "--fx", "200", "-v",
