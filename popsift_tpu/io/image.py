@@ -115,6 +115,17 @@ def load_image(path: str) -> np.ndarray:
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
         return img
+    except ImportError:
+        pass
+    try:
+        import cv2  # optional fallback (JPEG/PNG/TIFF/...; the
+        # reference's analogous optional loader is DevIL,
+        # src/application/CMakeLists.txt:16-29)
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise ValueError(f"cannot decode {path}")
+        return img.astype(np.uint8)
     except ImportError as e:
         raise ValueError(
-            f"cannot read {path}: only PGM/PPM supported without PIL") from e
+            f"cannot read {path}: only PGM/PPM supported without "
+            f"PIL or OpenCV") from e

@@ -113,3 +113,22 @@ def test_match_cli_geometric_verification(tmp_path, medium_image, capsys):
     inl, tot = map(int, frac.split("/"))
     assert tot >= 8 and inl / tot >= 0.7, line
     assert " inlier" in out
+
+
+def test_load_image_png_jpeg(tmp_path, small_image):
+    """Non-PNM formats load through the optional decoder chain
+    (PIL/OpenCV — the reference's analogous optional path is DevIL)."""
+    import pytest
+    cv2 = pytest.importorskip("cv2")
+    from popsift_tpu.io.image import load_image
+
+    png = str(tmp_path / "t.png")
+    cv2.imwrite(png, small_image)
+    got = load_image(png)
+    np.testing.assert_array_equal(got, small_image)   # PNG is lossless
+
+    jpg = str(tmp_path / "t.jpg")
+    cv2.imwrite(jpg, small_image)
+    got = load_image(jpg)
+    assert got.shape == small_image.shape and got.dtype == np.uint8
+    assert abs(got.astype(int) - small_image.astype(int)).mean() < 3.0
