@@ -31,7 +31,15 @@ from popsift_tpu.ops.pyramid import build_pyramid  # noqa: E402
 from popsift_tpu.pipeline import build_extract_plan  # noqa: E402
 
 
-def run_variant(name, plan, batch, use_pallas, B):
+def run_variant(name, plan, batch, use_pallas, B, R=3):
+    """Steady-state per-frame time via the SLOPE between a 1x and an Rx
+    scan over the same frames inside single dispatches: per-dispatch
+    overhead (tunnel RTT, enqueue, fetch) cancels in the difference.
+    Every timing fetches the checksum to host (device_get) — over the
+    tunnel, ``block_until_ready`` on an enqueued execution has been
+    observed to return before the device finishes (round-3 finding:
+    0.02 ms/frame "measured" for the XLA pyramid), so only a real
+    transfer is a trustworthy barrier."""
     def scan(xs):
         def body(_, img):
             blurs, dogs = build_pyramid(img, plan, use_pallas=use_pallas)
@@ -41,19 +49,28 @@ def run_variant(name, plan, batch, use_pallas, B):
         return jax.lax.scan(body, 0, xs)[1]
 
     fn = jax.jit(scan)
-    t0 = time.perf_counter()
-    r = fn(batch)
-    jax.block_until_ready(r)
-    t_first = time.perf_counter() - t0
+    long_batch = jnp.concatenate([batch] * R)
 
     t0 = time.perf_counter()
-    iters = 3
-    rs = [fn(batch) for _ in range(iters)]
-    jax.block_until_ready(rs)
-    per_frame = (time.perf_counter() - t0) / (iters * B) * 1e3
+    r = np.asarray(fn(batch))
+    t_first = time.perf_counter() - t0
+
+    def timed(xs, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(xs))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    np.asarray(fn(long_batch))           # compile the Rx program
+    t_short = timed(batch)
+    t_long = timed(long_batch)
+    per_frame = (t_long - t_short) / ((R - 1) * B) * 1e3
     print(f"{name:14s} first-call {t_first:7.1f} s   "
-          f"steady {per_frame:6.2f} ms/frame   checksum "
-          f"{float(np.asarray(r[0])):.6g}", flush=True)
+          f"steady {per_frame:6.2f} ms/frame   "
+          f"(1x {t_short * 1e3:.1f} ms, {R}x {t_long * 1e3:.1f} ms)   "
+          f"checksum {float(r[0]):.6g}", flush=True)
     return per_frame
 
 
