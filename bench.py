@@ -85,7 +85,11 @@ def _timed(fn, x, n_frames, k=4, reps=3):
 
     t1 = min(run(1, 1 + r) for r in range(reps))
     tk = min(run(k, 100 + r) for r in range(reps))
-    dt = max(tk - t1, 1e-9)
+    dt = tk - t1
+    if dt <= max(1e-4, 0.02 * tk):
+        # non-positive / sub-jitter slope: timing is invalid, don't
+        # fabricate an absurd fps from a clamped denominator.
+        return float("nan"), ys, t1
     return (k - 1) * n_frames / dt, ys, t1
 
 
@@ -130,8 +134,12 @@ def main(h=1080, w=1920, B=16, F=(4, 8, 16)):
 
     fps_single, r1, disp_s = _timed(jax.jit(scan_single), batch, B)
     kp_single = [int(k) for k in np.asarray(r1[0])]
-    variants = {"single_scan": round(fps_single, 2)}
-    best = ("single_scan", fps_single)
+    if fps_single != fps_single:  # NaN: slope was noise — timing invalid
+        variants = {"single_scan": "timing_invalid"}
+        best = ("single_scan", float("-inf"))
+    else:
+        variants = {"single_scan": round(fps_single, 2)}
+        best = ("single_scan", fps_single)
 
     # variant 2: frame-batched extract (F frames share one kernel launch
     # per stage, layer-axis stacking), swept over chunk sizes. Any
@@ -153,7 +161,9 @@ def main(h=1080, w=1920, B=16, F=(4, 8, 16)):
 
             fps_b, rb, _ = _timed(jax.jit(scan_batched), chunks, B)
             kp_b = [int(k) for k in np.asarray(rb[0]).reshape(-1)]
-            if kp_b == kp_single:
+            if fps_b != fps_b:
+                variants[f"batched_F{Fi}"] = "timing_invalid"
+            elif kp_b == kp_single:
                 variants[f"batched_F{Fi}"] = round(fps_b, 2)
                 if fps_b > best[1]:
                     best = (f"batched_F{Fi}", fps_b)
@@ -163,11 +173,12 @@ def main(h=1080, w=1920, B=16, F=(4, 8, 16)):
             variants[f"batched_F{Fi}"] = f"failed: {type(e).__name__}"
 
     fps = best[1]
+    invalid = fps == float("-inf")
     print(json.dumps({
         "metric": "sift_1080p_fps_per_chip",
-        "value": round(fps, 2),
+        "value": None if invalid else round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 20.3, 3),
+        "vs_baseline": None if invalid else round(fps / 20.3, 3),
         "detail": {"keypoints": n_kp, "descriptors": n_desc,
                    "variant": best[0], "variants": variants,
                    "octave_caps": list(caps),

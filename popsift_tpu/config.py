@@ -105,6 +105,13 @@ class SiftConfig:
     grid_filter_mode: str = "largest"   # reference default is "random";
     # we default to the deterministic variant (reference docs call random
     # unstable, sift_conf.h:72-76); set "random" for exact parity testing.
+    # Orientation-histogram smoothing: "vlfeat" (3x two circular box-3
+    # passes — the reference's compile-time default WITH_VLFEAT_SMOOTHING,
+    # s_orientation.cu:31-34,142-156) or "opencv" (one binomial
+    # [1 4 6 4 1]/16 pass — the #else branch, s_orientation.cu:157-176).
+    # The reference picks this at COMPILE time independent of sift_mode;
+    # here it is a runtime knob with the same default.
+    ori_smoothing: str = "vlfeat"
     verbose: bool = False
 
     # --- TPU-specific static-shape knobs (no reference equivalent) ---
@@ -130,6 +137,8 @@ class SiftConfig:
             raise ValueError(f"bad norm mode {self.norm_mode!r}")
         if self.grid_filter_mode not in GRID_FILTER_MODES:
             raise ValueError(f"bad grid filter mode {self.grid_filter_mode!r}")
+        if self.ori_smoothing not in ("vlfeat", "opencv"):
+            raise ValueError(f"bad ori smoothing {self.ori_smoothing!r}")
         if self.scaling_mode not in SCALING_MODES:
             raise ValueError(f"bad scaling mode {self.scaling_mode!r}")
         if self.downscale_mode not in DOWNSCALE_MODES:

@@ -277,7 +277,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
 
 
 def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
-                  desc_chunk: int = 1024) -> SiftFeatures:
+                  desc_chunk: int = 1024, front_mode: str = "vmap",
+                  _stage: str | None = None) -> SiftFeatures:
     """Frame-batched extraction: one XLA program for F frames, every
     output gaining a leading [F] axis.
 
@@ -291,6 +292,17 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     The reference gets cross-frame parallelism from multiple SiftJobs
     on CUDA streams (popsift.cpp:182-213); one batched program is the
     XLA-native equivalent.
+
+    ``front_mode`` selects how the per-frame pyramid front is lowered:
+    ``"vmap"`` (one batched program over frames) or ``"unroll"`` (the
+    per-frame front unrolled F times, each frame writing its levels
+    straight into the shared [F*L] canvases — avoids any vmap-induced
+    batched-op relayouts; the front is per-frame compute either way).
+
+    ``_stage`` is a diagnostics-only early-exit: return the named
+    phase's intermediate pytree ("front", "cands", "refine", "grid",
+    "orient") instead of running the full pipeline — used by
+    scripts/stage_slope_batch.py to localize regressions on hardware.
     """
     cfg = plan.config
     F = imgs_u8.shape[0]
@@ -322,22 +334,49 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     offs = np.concatenate([[0], np.cumsum(caps)]).astype(int)
     Ktot = int(offs[-1])
 
-    def front(im):
-        octs = build_pyramid_octaves(im, plan.pyramid)
-        gs = [assemble_gauss_canvas(lv, *dims[o])
-              for o, (lv, _) in enumerate(octs)]
-        ds = [assemble_dog_canvas(dg, *dims[o])
-              for o, (_, dg) in enumerate(octs)]
-        return gs, ds
+    if front_mode == "unroll":
+        # per-frame front, unrolled: each frame's blur/DoG levels are
+        # written straight into the shared [F*L, Hp, Wp] canvases (the
+        # same dynamic-update-slice writes the single-frame path pays),
+        # so no vmapped conv/interleave/transpose ever exists in the
+        # program — only the layer index carries the frame.
+        from .ops.pyramid import dog_canvas_dims, gauss_canvas_dims, \
+            DOG_OY, DOG_OX
+        gc2 = [jnp.zeros((F * L,) + gauss_canvas_dims(*dims[o]),
+                         jnp.float32) for o in range(len(dims))]
+        dc2 = [jnp.zeros((F * (L - 1),) + dog_canvas_dims(*dims[o]),
+                         jnp.float32) for o in range(len(dims))]
+        for f in range(F):
+            octs = build_pyramid_octaves(imgs_u8[f], plan.pyramid)
+            for o, (lv, dg) in enumerate(octs):
+                for l, lvl in enumerate(lv):
+                    gc2[o] = jax.lax.dynamic_update_slice(
+                        gc2[o], lvl[None], (f * L + l, 0, 0))
+                for l, d in enumerate(dg):
+                    dc2[o] = jax.lax.dynamic_update_slice(
+                        dc2[o], d[None], (f * (L - 1) + l, DOG_OY, DOG_OX))
+    else:
+        def front(im):
+            octs = build_pyramid_octaves(im, plan.pyramid)
+            gs = [assemble_gauss_canvas(lv, *dims[o])
+                  for o, (lv, _) in enumerate(octs)]
+            ds = [assemble_dog_canvas(dg, *dims[o])
+                  for o, (_, dg) in enumerate(octs)]
+            return gs, ds
 
-    gaussc, dogc = jax.vmap(front)(imgs_u8)
-    # frames stacked on the layer axis: [F, L, Hp, Wp] -> [F*L, Hp, Wp]
-    gc2 = [g.reshape(F * L, g.shape[2], g.shape[3]) for g in gaussc]
-    dc2 = [d.reshape(F * (L - 1), d.shape[2], d.shape[3]) for d in dogc]
+        gaussc, dogc = jax.vmap(front)(imgs_u8)
+        # frames stacked on the layer axis: [F,L,Hp,Wp] -> [F*L,Hp,Wp]
+        gc2 = [g.reshape(F * L, g.shape[2], g.shape[3]) for g in gaussc]
+        dc2 = [d.reshape(F * (L - 1), d.shape[2], d.shape[3])
+               for d in dogc]
+    if _stage == "front":
+        return gc2, dc2
 
     # phase 1a: one mask + window launch per octave for all F frames
     cands = [collect_candidates_batched(dc2[o], F, cfg, caps[o], dims[o])
              for o in range(n_oct)]
+    if _stage == "cands":
+        return cands
 
     # phase 1b: one refinement over all frames' and octaves' candidates
     octv_row = np.concatenate(
@@ -364,6 +403,8 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     wt = np.tile(w_row, F)
     ht = np.tile(h_row, F)
     g = refine_candidates(merged, cfg, wt, ht)
+    if _stage == "refine":
+        return g
 
     # phase 2: per-frame grid budget
     scale_row = np.exp2(octv_row.astype(np.float32)
@@ -376,6 +417,8 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
             (g.sigma * jnp.tile(jnp.asarray(scale_row), F)).reshape(
                 F, Ktot),
             gvalid.reshape(F, Ktot)).reshape(F * Ktot)
+    if _stage == "grid":
+        return g, gvalid
 
     # per-octave views [F, cap_o] with kernel-level addressing f*L + lv
     frame_base = jnp.repeat(jnp.arange(F, dtype=jnp.int32), Ktot) * L
@@ -401,6 +444,8 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
         [h.reshape(F, caps[o], -1) for o, h in enumerate(hists)],
         axis=1).reshape(F * Ktot, -1)
     oris = orientations_from_histograms(hist, gvalid)
+    if _stage == "orient":
+        return oris
 
     # phase 3b: descriptor jobs + kernels per octave, all frames at once
     raw_descs, job_kps, job_valids = [], [], []

@@ -352,6 +352,51 @@ def schur_cg_step(p: BAProblem, lam, cg_iters: int = 25, psum_axis=None,
     return dc, dp, cost
 
 
+def _intr_jacobian(p: BAProblem):
+    """Per-observation Jacobian wrt the shared intrinsics Ji [No,2,4]
+    (forward autodiff through the pinhole projection), masked like the
+    camera/point Jacobians."""
+    def one(ci, pi, uv):
+        f = lambda intr: project(p.cams[ci], p.points[pi], intr) - uv
+        return jax.jacfwd(f)(p.intr)
+    Ji = jax.vmap(one)(p.obs_cam, p.obs_pt, p.obs_uv)
+    return jnp.where(p.obs_valid[:, None, None], Ji, 0.0)
+
+
+def intr_step(p: BAProblem, lam, huber_delta=None, psum_axis=None,
+              intr_mask=None):
+    """One damped GN step on the SHARED intrinsics block (fx fy cx cy)
+    with cameras/points held fixed — the intrinsics half of a
+    block-coordinate LM iteration (``bundle_adjust(opt_intr=True)``).
+
+    The block is 4-dimensional, so the normal equations are a single
+    [4, 4] solve; distributed, that is one tiny psum of (H, g) per
+    step — negligible next to the Schur reductions. ``intr_mask``
+    (f32[4], 1 = optimize) freezes components, e.g. [1, 1, 0, 0] to
+    refine focal only. (New capability: the reference ends at
+    matching, features.cu, and has no notion of intrinsics at all.)
+    """
+    r = residuals(p)
+    if huber_delta is not None:
+        sw = _huber_sw(r, huber_delta)
+        r = r * sw
+    Ji = _intr_jacobian(p)
+    if huber_delta is not None:
+        Ji = Ji * sw[:, :, None]
+    H = jnp.einsum("oki,okj->ij", Ji, Ji)
+    g = jnp.einsum("oki,ok->i", Ji, r)
+    if psum_axis is not None:
+        H = jax.lax.psum(H, psum_axis)
+        g = jax.lax.psum(g, psum_axis)
+    mask = (jnp.ones(4, jnp.float32) if intr_mask is None
+            else jnp.asarray(intr_mask, jnp.float32))
+    # frozen components: zero rows/cols + unit diagonal
+    H = H * mask[:, None] * mask[None, :]
+    H = H + (lam + 1e-8) * jnp.eye(4) + jnp.diag(1.0 - mask)
+    di = -jnp.linalg.solve(H, g * mask)
+    return di * mask
+
+
 def dense_schur_feasible(n_cams: int, n_points: int,
                          budget_bytes: int = 1 << 31) -> bool:
     """Whether the explicit dense-U Schur path fits the memory budget."""
@@ -359,10 +404,11 @@ def dense_schur_feasible(n_cams: int, n_points: int,
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "dense",
-                                   "huber_delta"))
+                                   "huber_delta", "opt_intr"))
 def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
                   lam0: float = 1e-3, dense: bool | None = None,
-                  huber_delta: float | None = None):
+                  huber_delta: float | None = None,
+                  opt_intr: bool = False, intr_mask=None):
     """Levenberg-Marquardt loop (jitted, fixed iteration count).
 
     Accept/reject with damping update: classic LM without host sync.
@@ -372,7 +418,10 @@ def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
     switches the objective to the Huber loss on the per-observation
     residual norm (IRLS reweighting each GN step), capping any single
     observation's influence — use when the track set may contain
-    mismatches.
+    mismatches. ``opt_intr`` alternates a shared-intrinsics GN step
+    (:func:`intr_step`) with every camera/point step, each with its own
+    accept/reject; ``intr_mask`` (f32[4], 1 = optimize) restricts the
+    refined components (e.g. ``[1, 1, 0, 0]`` for focal only).
     """
     if dense is None:
         dense = dense_schur_feasible(int(p.cams.shape[0]),
@@ -394,8 +443,18 @@ def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
         cams = jnp.where(ok, new.cams, prob.cams)
         points = jnp.where(ok, new.points, prob.points)
         prob = prob._replace(cams=cams, points=points)
+        cost = jnp.where(ok, new_cost, cost)
+        if opt_intr:
+            di = intr_step(prob, lam, huber_delta=huber_delta,
+                           intr_mask=intr_mask)
+            cand = prob._replace(intr=prob.intr + di)
+            c_cost = robust_cost(residuals(cand), huber_delta)
+            ok_i = c_cost < cost
+            prob = prob._replace(
+                intr=jnp.where(ok_i, cand.intr, prob.intr))
+            cost = jnp.where(ok_i, c_cost, cost)
         lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-        return (prob, lam), jnp.where(ok, new_cost, cost)
+        return (prob, lam), cost
 
     (prob, lam), costs = jax.lax.scan(
         body, (p, jnp.float32(lam0)), None, length=iters)

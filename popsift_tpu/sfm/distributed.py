@@ -90,7 +90,8 @@ def partition_by_point(p: BAProblem, n_shards: int) -> BAProblem:
 
 def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
                            iters: int = 8, cg_iters: int = 20,
-                           lam0: float = 1e-3, dense: bool = False):
+                           lam0: float = 1e-3, dense: bool = False,
+                           opt_intr: bool = False, intr_mask=None):
     """Build a jitted distributed LM-BA over the given mesh.
 
     Takes the sharded BAProblem layout from ``partition_by_point``
@@ -99,14 +100,20 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
     reduced camera system is built locally per shard and psum'd once per
     GN step ([6Nc, 6Nc]) instead of two [Nc, 6] psums per CG iteration —
     fewer, fatter collectives, and an exact solve
-    (ba.py::schur_dense_step).
+    (ba.py::schur_dense_step). ``opt_intr`` alternates a
+    shared-intrinsics GN step per LM iteration (one [4, 4] + [4] psum,
+    ba.py::intr_step); the refined intrinsics are returned replicated.
     """
-    from .ba import schur_dense_step
+    from .ba import intr_step, schur_dense_step
 
     def local(cams, points, intr, oc, op, uv, ov, fixed):
         prob = BAProblem(cams=cams, points=points, intr=intr,
                          obs_cam=oc, obs_pt=op, obs_uv=uv,
                          obs_valid=ov, cam_fixed=fixed)
+
+        def psum_cost(pr):
+            r = residuals(pr)
+            return jax.lax.psum(jnp.sum(r * r), axis_name)
 
         def body(state, _):
             prob, lam = state
@@ -119,18 +126,27 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
                                              psum_axis=axis_name)
             new = prob._replace(cams=prob.cams + dc,
                                 points=prob.points + dp)
-            r = residuals(new)
-            new_cost = jax.lax.psum(jnp.sum(r * r), axis_name)
+            new_cost = psum_cost(new)
             ok = new_cost < cost       # NaN steps are rejected too
             cams = jnp.where(ok, new.cams, prob.cams)
             points = jnp.where(ok, new.points, prob.points)
+            prob = prob._replace(cams=cams, points=points)
+            cost = jnp.where(ok, new_cost, cost)
+            if opt_intr:
+                di = intr_step(prob, lam, psum_axis=axis_name,
+                               intr_mask=intr_mask)
+                cand = prob._replace(intr=prob.intr + di)
+                c_cost = psum_cost(cand)
+                ok_i = c_cost < cost
+                prob = prob._replace(
+                    intr=jnp.where(ok_i, cand.intr, prob.intr))
+                cost = jnp.where(ok_i, c_cost, cost)
             lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-            return (prob._replace(cams=cams, points=points), lam), \
-                jnp.where(ok, new_cost, cost)
+            return (prob, lam), cost
 
         (prob, _), costs = jax.lax.scan(
             body, (prob, jnp.float32(lam0)), None, length=iters)
-        return prob.cams, prob.points, costs
+        return prob.cams, prob.points, prob.intr, costs
 
     spec_sh = P(axis_name)       # sharded leading axis
     spec_rep = P()               # replicated
@@ -138,18 +154,18 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
         local, mesh=mesh,
         in_specs=(spec_rep, spec_sh, spec_rep, spec_sh, spec_sh,
                   spec_sh, spec_sh, spec_rep),
-        out_specs=(spec_rep, spec_sh, spec_rep))
+        out_specs=(spec_rep, spec_sh, spec_rep, spec_rep))
 
     @jax.jit
     def run(p: BAProblem):
         # strip the leading shard axis per-device inside shard_map
         def inner(cams, points, intr, oc, op, uv, ov, fixed):
             return mapped(cams, points, intr, oc, op, uv, ov, fixed)
-        cams, points, costs = inner(
+        cams, points, intr, costs = inner(
             p.cams, p.points.reshape(-1, 3), p.intr,
             p.obs_cam.reshape(-1), p.obs_pt.reshape(-1),
             p.obs_uv.reshape(-1, 2), p.obs_valid.reshape(-1), p.cam_fixed)
-        return p._replace(cams=cams,
+        return p._replace(cams=cams, intr=intr,
                           points=points.reshape(p.points.shape)), costs
 
     return run

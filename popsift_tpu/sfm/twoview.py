@@ -201,6 +201,30 @@ def triangulate(R1, t1, R2, t2, x1, x2):
     return Xh[:, :3] / w
 
 
+@jax.jit
+def triangulate_rows(R1, t1, R2, t2, x1, x2):
+    """DLT triangulation with PER-ROW camera poses.
+
+    Same math as :func:`triangulate` but R1/t1/R2/t2 carry a leading
+    [N] axis, so one device call triangulates N tracks each against its
+    own (partner, new-image) camera pair — the batched form the
+    incremental engine's registration step needs (the per-partner
+    loop was O(registered images) device calls per registration).
+    """
+    P1 = jnp.concatenate([R1, t1[..., None]], axis=-1)   # [N, 3, 4]
+    P2 = jnp.concatenate([R2, t2[..., None]], axis=-1)
+
+    def rows(P, x):
+        return jnp.stack([x[:, 0:1] * P[:, 2] - P[:, 0],
+                          x[:, 1:2] * P[:, 2] - P[:, 1]], axis=1)
+
+    A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], axis=1)  # [N, 4, 4]
+    _, _, vt = jnp.linalg.svd(A)
+    Xh = vt[:, -1, :]
+    w = jnp.where(jnp.abs(Xh[:, 3:4]) < 1e-12, 1e-12, Xh[:, 3:4])
+    return Xh[:, :3] / w
+
+
 def recover_pose(E, x1, x2, valid):
     """Choose the (R, t) decomposition of E with max cheirality support
     (points in front of both cameras). Returns (R, t, good_mask)."""

@@ -31,46 +31,52 @@ from popsift_tpu.ops.pyramid import build_pyramid  # noqa: E402
 from popsift_tpu.pipeline import build_extract_plan  # noqa: E402
 
 
-def run_variant(name, plan, batch, use_pallas, B, R=3):
-    """Steady-state per-frame time via the SLOPE between a 1x and an Rx
-    scan over the same frames inside single dispatches: per-dispatch
-    overhead (tunnel RTT, enqueue, fetch) cancels in the difference.
-    Every timing fetches the checksum to host (device_get) — over the
-    tunnel, ``block_until_ready`` on an enqueued execution has been
-    observed to return before the device finishes (round-3 finding:
-    0.02 ms/frame "measured" for the XLA pyramid), so only a real
-    transfer is a trustworthy barrier."""
-    def scan(xs):
-        def body(_, img):
+def run_variant(name, plan, batch, use_pallas, B, k=4, reps=3):
+    """Steady-state per-frame time via the slope across k dispatches
+    CHAINED through a scalar data dependency (same methodology as
+    bench.py::_timed): each dispatch consumes the previous checksum, so
+    the device must execute every dispatch (no two are identical, the
+    tunnel cannot short-circuit) and the final host fetch is a real
+    barrier. Per-dispatch overhead (tunnel RTT, enqueue, fetch) cancels
+    in t(k) - t(1)."""
+    def scan(xs, s0):
+        def body(c, img):
             blurs, dogs = build_pyramid(img, plan, use_pallas=use_pallas)
             s = sum(jnp.sum(b) for b in blurs) + sum(jnp.sum(d)
                                                      for d in dogs)
-            return 0, s
-        return jax.lax.scan(body, 0, xs)[1]
+            return c + s, ()
+        return jax.lax.scan(body, s0, xs)[0]
 
     fn = jax.jit(scan)
-    long_batch = jnp.concatenate([batch] * R)
 
     t0 = time.perf_counter()
-    r = np.asarray(fn(batch))
+    r = float(np.asarray(fn(batch, jnp.float32(0.0))))
     t_first = time.perf_counter() - t0
 
-    def timed(xs, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fn(xs))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run(n, seed):
+        s = jnp.float32(seed)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = fn(batch, s)
+        float(np.asarray(s))
+        return time.perf_counter() - t0
 
-    np.asarray(fn(long_batch))           # compile the Rx program
-    t_short = timed(batch)
-    t_long = timed(long_batch)
-    per_frame = (t_long - t_short) / ((R - 1) * B) * 1e3
+    t1 = min(run(1, 1 + i) for i in range(reps))
+    tk = min(run(k, 100 + i) for i in range(reps))
+    dt = tk - t1
+    # guard: a non-positive or sub-jitter slope is noise/short-circuit,
+    # not a real steady-state number — report raw times as untrusted.
+    if dt <= max(1e-4, 0.02 * tk):
+        print(f"{name:14s} first-call {t_first:7.1f} s   "
+              f"steady UNTRUSTED (slope {dt * 1e3:.2f} ms <= jitter; "
+              f"1x {t1 * 1e3:.1f} ms, {k}x {tk * 1e3:.1f} ms)   "
+              f"checksum {r:.6g}", flush=True)
+        return float("nan")
+    per_frame = dt / ((k - 1) * B) * 1e3
     print(f"{name:14s} first-call {t_first:7.1f} s   "
           f"steady {per_frame:6.2f} ms/frame   "
-          f"(1x {t_short * 1e3:.1f} ms, {R}x {t_long * 1e3:.1f} ms)   "
-          f"checksum {float(r[0]):.6g}", flush=True)
+          f"(1x {t1 * 1e3:.1f} ms, {k}x {tk * 1e3:.1f} ms)   "
+          f"checksum {r:.6g}", flush=True)
     return per_frame
 
 
