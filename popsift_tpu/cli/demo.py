@@ -49,6 +49,11 @@ def build_parser():
                         "the input image (ScalingMode ScaleDirect; the "
                         "reference spells this --direct-scaling, "
                         "main.cpp:100)")
+    p.add_argument("--ori-smoothing", default="vlfeat",
+                   choices=("vlfeat", "opencv"),
+                   help="orientation histogram smoothing variant — the "
+                        "reference's compile-time WITH_VLFEAT_SMOOTHING "
+                        "switch (s_orientation.cu:31-34) as a runtime flag")
     p.add_argument("--norm-mode", default=None,
                    choices=["rootsift", "classic"],
                    help="string form of --root-sift/--classic-norm")
@@ -95,6 +100,7 @@ def config_from_args(args):
         filter_max_extrema=args.filter_max_extrema,
         filter_grid_size=args.filter_grid,
         grid_filter_mode=args.filter_sort,
+        ori_smoothing=args.ori_smoothing,
         scaling_mode="direct" if args.test_direct_scaling else "indirect",
         verbose=args.verbose,
     )

@@ -165,15 +165,39 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
     return _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
 
 
-def orientations_from_histograms(hist: jnp.ndarray,
-                                 valid: jnp.ndarray) -> OctaveOrientations:
-    """Smoothing + peak refinement + 0.8-max acceptance over histograms
-    (s_orientation.cu:142-241). Pure [K, 36] math — callers concatenate
-    all octaves' histograms and run this once per frame."""
-    # VLFeat smoothing: 3 x (two circular box-3 passes)
+def smooth_histograms(hist: jnp.ndarray, smoothing: str = "vlfeat"
+                      ) -> jnp.ndarray:
+    """Circular smoothing of [K, 36] orientation histograms.
+
+    "vlfeat" = 3 iterations of two circular box-3 passes — the
+    reference's compile-time default (WITH_VLFEAT_SMOOTHING,
+    s_orientation.cu:31-34,142-156); "opencv" = one circular binomial
+    [1,4,6,4,1]/16 pass (the #else branch, s_orientation.cu:158-173).
+    """
+    if smoothing == "opencv":
+        return (jnp.roll(hist, 2, axis=1) + jnp.roll(hist, -2, axis=1)
+                + 4.0 * (jnp.roll(hist, 1, axis=1)
+                         + jnp.roll(hist, -1, axis=1))
+                + 6.0 * hist) / 16.0
     for _ in range(6):
         hist = (jnp.roll(hist, 1, axis=1) + hist
                 + jnp.roll(hist, -1, axis=1)) / 3.0
+    return hist
+
+
+def orientations_from_histograms(hist: jnp.ndarray,
+                                 valid: jnp.ndarray,
+                                 smoothing: str = "vlfeat"
+                                 ) -> OctaveOrientations:
+    """Smoothing + peak refinement + 0.8-max acceptance over histograms
+    (s_orientation.cu:142-241). Pure [K, 36] math — callers concatenate
+    all octaves' histograms and run this once per frame.
+
+    ``smoothing`` selects the reference's compile-time variant
+    (WITH_VLFEAT_SMOOTHING, s_orientation.cu:31-34) — see
+    :func:`smooth_histograms`. Exposed at runtime via
+    ``SiftConfig.ori_smoothing``."""
+    hist = smooth_histograms(hist, smoothing)
 
     prev = jnp.roll(hist, 1, axis=1)
     nxt = jnp.roll(hist, -1, axis=1)
@@ -212,4 +236,5 @@ def assign_orientations(blur: jnp.ndarray, ext: OctaveExtrema,
     the pipeline batches the tail across octaves itself)."""
     hist = orientation_histograms(blur, ext, cfg, use_pallas=use_pallas,
                                   y_bounds=y_bounds)
-    return orientations_from_histograms(hist, ext.valid)
+    return orientations_from_histograms(hist, ext.valid,
+                                        smoothing=cfg.ori_smoothing)

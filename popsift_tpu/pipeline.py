@@ -230,7 +230,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         hists.append(orientation_histograms(blur, ext_o, cfg,
                                             padded=padded[octv],
                                             dims=dims[octv]))
-    oris = orientations_from_histograms(cat(hists), gvalid)
+    oris = orientations_from_histograms(cat(hists), gvalid,
+                                        smoothing=cfg.ori_smoothing)
 
     # phase 3b: per-octave descriptor jobs + window-reading kernels;
     # normalization and masking batched at the end
@@ -443,7 +444,8 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     hist = jnp.concatenate(
         [h.reshape(F, caps[o], -1) for o, h in enumerate(hists)],
         axis=1).reshape(F * Ktot, -1)
-    oris = orientations_from_histograms(hist, gvalid)
+    oris = orientations_from_histograms(hist, gvalid,
+                                        smoothing=cfg.ori_smoothing)
     if _stage == "orient":
         return oris
 

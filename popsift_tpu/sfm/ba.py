@@ -197,7 +197,8 @@ def _precond(ops: _SchurOps, r):
                             r[..., None])[..., 0]
 
 
-def schur_dense_step(p: BAProblem, lam, psum_axis=None, huber_delta=None):
+def schur_dense_step(p: BAProblem, lam, psum_axis=None, huber_delta=None,
+                     opt_intr: bool = False, intr_mask=None):
     """One damped Gauss-Newton step via an EXPLICIT dense reduced camera
     system — the MXU formulation of the Schur complement.
 
@@ -221,6 +222,17 @@ def schur_dense_step(p: BAProblem, lam, psum_axis=None, huber_delta=None):
     With ``psum_axis`` (observations point-sharded over a mesh), Hcc, S
     and the camera gradient are psum'd once per step — one [6Nc, 6Nc]
     collective instead of two [6Nc] psums per CG iteration.
+
+    ``opt_intr``: JOINTLY solve for the shared intrinsics block by
+    augmenting the reduced camera system to [6Nc+4, 6Nc+4] — the
+    intrinsics behave as one extra camera-like block observed by every
+    residual. This avoids the focal<->depth near-degeneracy that makes
+    block-coordinate alternation (:func:`intr_step`) converge at a
+    ~0.999 linear rate: cameras/points re-absorb a shared focal error
+    every alternating step, while the joint Schur solve moves along the
+    coupled direction exactly. Returns (dc, dp, di, cost); ``intr_mask``
+    (f32[4], 1 = optimize) freezes components (e.g. [1,1,0,0] = focal
+    only).
     """
     Nc = p.cams.shape[0]
     Np = p.points.shape[0]
@@ -275,6 +287,38 @@ def schur_dense_step(p: BAProblem, lam, psum_axis=None, huber_delta=None):
     blockdiag = blockdiag.at[idx, :, idx, :].set(Hcc)
     S = S + blockdiag.reshape(Nc * 6, Nc * 6) + lam * eye
 
+    if opt_intr:
+        # augment the reduced system with the shared 4-dim intrinsics
+        # block: S_aug = [[S, Sci], [Sci^T, Sii]] with the point
+        # couplings eliminated through the same Hpp^-1
+        mask4 = (jnp.ones(4, jnp.float32) if intr_mask is None
+                 else jnp.asarray(intr_mask, jnp.float32))
+        Ji = _intr_jacobian(p)
+        if huber_delta is not None:
+            Ji = Ji * sw[:, :, None]
+        Ji = Ji * mask4[None, None, :]       # frozen comps: zero columns
+        Hii = jnp.einsum("oki,okj->ij", Ji, Ji)
+        Hci = _seg_sum(jnp.einsum("oki,okj->oij", Jc, Ji),
+                       p.obs_cam, Nc)                   # [Nc, 6, 4]
+        Vi = _seg_sum(jnp.einsum("oki,okj->oij", Ji, Jp),
+                      p.obs_pt, Np)                     # [Np, 4, 3]
+        g_i = jnp.einsum("oki,ok->i", Ji, r)
+        Ai = jnp.einsum("pik,pkl->pil", Vi, Hpp_inv)    # Vi Hpp^-1
+        B_ci = jnp.einsum("pcik,pjk->cij", A, Vi)       # [Nc, 6, 4]
+        B_ii = jnp.einsum("pik,pjk->ij", Ai, Vi)
+        corr_i = jnp.einsum("pik,pk->i", Ai, g_p)
+        if psum_axis is not None:
+            Hii = jax.lax.psum(Hii, psum_axis)
+            Hci = jax.lax.psum(Hci, psum_axis)
+            B_ci = jax.lax.psum(B_ci, psum_axis)
+            B_ii = jax.lax.psum(B_ii, psum_axis)
+            g_i = jax.lax.psum(g_i, psum_axis)
+            corr_i = jax.lax.psum(corr_i, psum_axis)
+        Sci = (Hci - B_ci).reshape(Nc * 6, 4)
+        Sii = Hii - B_ii + lam * jnp.eye(4) + jnp.diag(1.0 - mask4)
+        S = jnp.block([[S, Sci], [Sci.T, Sii]])
+        rhs = jnp.concatenate([rhs.reshape(-1), -(g_i - corr_i)])
+
     # symmetric Jacobi scaling before the LU solve: S is PSD only up to
     # f32 roundoff (entries span ~1e7 : lam), and an unscaled
     # factorization can go singular
@@ -282,13 +326,18 @@ def schur_dense_step(p: BAProblem, lam, psum_axis=None, huber_delta=None):
     Ss = S * d[:, None] * d[None, :]
     y = jnp.linalg.solve(Ss, rhs.reshape(-1) * d)
     x = y * d
-    dc = x.reshape(Nc, 6)
+    dc = x[:Nc * 6].reshape(Nc, 6)
     dc = jnp.where(p.cam_fixed[:, None], 0.0, dc)
 
-    # back-substitute point updates: dp = Hpp^-1 (-g_p - Hpc dc)
+    # back-substitute point updates: dp = Hpp^-1 (-g_p - Hpc dc [- Hpi di])
     Jdc = jnp.einsum("oki,oi->ok", Jc, dc[p.obs_cam])
+    if opt_intr:
+        di = x[Nc * 6:] * mask4
+        Jdc = Jdc + jnp.einsum("oki,i->ok", Ji, di)
     hpc = _seg_sum(jnp.einsum("oki,ok->oi", Jp, Jdc), p.obs_pt, Np)
     dp = _solve33(Hpp, -g_p - hpc)
+    if opt_intr:
+        return dc, dp, di, cost
     return dc, dp, cost
 
 
@@ -429,22 +478,36 @@ def bundle_adjust(p: BAProblem, iters: int = 10, cg_iters: int = 25,
 
     def body(state, _):
         prob, lam = state
-        if dense:
+        if dense and opt_intr:
+            # joint augmented-Schur step: cams + points + intrinsics in
+            # one solve (the alternating intr_step stalls on the
+            # focal<->depth coupled direction)
+            dc, dp, di, cost = schur_dense_step(
+                prob, lam, huber_delta=huber_delta,
+                opt_intr=True, intr_mask=intr_mask)
+        elif dense:
             dc, dp, cost = schur_dense_step(prob, lam,
                                             huber_delta=huber_delta)
+            di = None
         else:
             dc, dp, cost = schur_cg_step(prob, lam, cg_iters=cg_iters,
                                          huber_delta=huber_delta)
+            di = None
         new = prob._replace(cams=prob.cams + dc, points=prob.points + dp)
+        if di is not None:
+            new = new._replace(intr=prob.intr + di)
         new_r = residuals(new)
         new_cost = robust_cost(new_r, huber_delta)
         ok = new_cost < cost           # NaN steps are rejected too
-        # accept/reject: only cams/points change
+        # accept/reject the whole step
         cams = jnp.where(ok, new.cams, prob.cams)
         points = jnp.where(ok, new.points, prob.points)
-        prob = prob._replace(cams=cams, points=points)
+        intr = jnp.where(ok, new.intr, prob.intr)
+        prob = prob._replace(cams=cams, points=points, intr=intr)
         cost = jnp.where(ok, new_cost, cost)
-        if opt_intr:
+        if opt_intr and not dense:
+            # CG path: alternate a shared-intrinsics GN step (approximate
+            # but memory-free; the dense path does the joint solve)
             di = intr_step(prob, lam, huber_delta=huber_delta,
                            intr_mask=intr_mask)
             cand = prob._replace(intr=prob.intr + di)

@@ -100,9 +100,12 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
     reduced camera system is built locally per shard and psum'd once per
     GN step ([6Nc, 6Nc]) instead of two [Nc, 6] psums per CG iteration —
     fewer, fatter collectives, and an exact solve
-    (ba.py::schur_dense_step). ``opt_intr`` alternates a
-    shared-intrinsics GN step per LM iteration (one [4, 4] + [4] psum,
-    ba.py::intr_step); the refined intrinsics are returned replicated.
+    (ba.py::schur_dense_step). ``opt_intr`` + ``dense`` jointly solves
+    the [6Nc+4] augmented reduced system (one extra [6Nc, 4] + [4, 4]
+    psum; ba.py::schur_dense_step(opt_intr=True)); on the CG path it
+    falls back to alternating a shared-intrinsics GN step per LM
+    iteration (one [4, 4] + [4] psum, ba.py::intr_step). The refined
+    intrinsics are returned replicated.
     """
     from .ba import intr_step, schur_dense_step
 
@@ -117,7 +120,12 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
 
         def body(state, _):
             prob, lam = state
-            if dense:
+            di = None
+            if dense and opt_intr:
+                dc, dp, di, cost = schur_dense_step(
+                    prob, lam, psum_axis=axis_name,
+                    opt_intr=True, intr_mask=intr_mask)
+            elif dense:
                 dc, dp, cost = schur_dense_step(prob, lam,
                                                 psum_axis=axis_name)
             else:
@@ -126,13 +134,16 @@ def make_distributed_ba_fn(mesh: Mesh, axis_name: str = "dp",
                                              psum_axis=axis_name)
             new = prob._replace(cams=prob.cams + dc,
                                 points=prob.points + dp)
+            if di is not None:
+                new = new._replace(intr=prob.intr + di)
             new_cost = psum_cost(new)
             ok = new_cost < cost       # NaN steps are rejected too
             cams = jnp.where(ok, new.cams, prob.cams)
             points = jnp.where(ok, new.points, prob.points)
-            prob = prob._replace(cams=cams, points=points)
+            intr = jnp.where(ok, new.intr, prob.intr)
+            prob = prob._replace(cams=cams, points=points, intr=intr)
             cost = jnp.where(ok, new_cost, cost)
-            if opt_intr:
+            if opt_intr and not dense:
                 di = intr_step(prob, lam, psum_axis=axis_name,
                                intr_mask=intr_mask)
                 cand = prob._replace(intr=prob.intr + di)

@@ -355,9 +355,17 @@ def global_sfm(tracks, intr, min_covis: int = 30, max_edges: int = 400,
     ei_all = np.concatenate([ei, np.asarray(bi, np.int32)])
     ej_all = np.concatenate([ej, np.asarray(bj, np.int32)])
     d_all = np.concatenate([d, np.concatenate(bu)]).astype(np.float32)
-    Cc, _ = translation_averaging(ntot, jnp.asarray(ei_all),
-                                  jnp.asarray(ej_all),
-                                  jnp.asarray(d_all))
+    # dense [3*ntot]^2 Laplacian solve up to ~1.5k nodes; above that the
+    # matrix-free CG form (O(E) memory, parity-tested vs dense) takes
+    # over — at 50k tracks the dense system would be 150k x 150k
+    if ntot <= 1500:
+        Cc, _ = translation_averaging(ntot, jnp.asarray(ei_all),
+                                      jnp.asarray(ej_all),
+                                      jnp.asarray(d_all))
+    else:
+        Cc, _ = translation_averaging_cg(ntot, jnp.asarray(ei_all),
+                                         jnp.asarray(ej_all),
+                                         jnp.asarray(d_all))
     Cc = np.asarray(Cc)[:n]
 
     for k, img in enumerate(images):

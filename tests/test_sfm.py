@@ -160,6 +160,68 @@ def _make_ba_problem(rng, n_cams=4, n_pts=60, noise_px=0.5,
     return prob, cams_gt, X
 
 
+def test_bundle_adjustment_recovers_perturbed_focal():
+    """opt_intr=True with a focal-only mask pulls a 5%-perturbed shared
+    focal back to truth via the joint augmented-Schur solve
+    (ba.py::schur_dense_step(opt_intr=True); no reference analog — the
+    reference stops at matching, features.cu).
+
+    Geometry note: cameras must TILT (rotate about x), not just orbit
+    about y — with all rotations about a single axis, the focal along
+    that axis is exactly gauge-degenerate (fy*s, Y/s, ty/s is an exact
+    symmetry of the pinhole model)."""
+    rng = np.random.default_rng(11)
+    f, cx, cy = 500.0, 320.0, 240.0
+    n_cams, n_pts = 8, 80
+    X = rng.uniform([-2, -2, -2], [2, 2, 2],
+                    size=(n_pts, 3)).astype(np.float32)
+    cams_gt = []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams * 0.35
+        C = np.array([8 * np.sin(ang), 3.0 * np.sin(2 * ang + 1.0),
+                      -8 * np.cos(ang)], np.float32)
+        w = np.array([0.25 * np.sin(3.1 * i + 0.5), ang,
+                      0.1 * np.cos(2.3 * i)], np.float32)
+        R = np.asarray(exp_so3(jnp.asarray(w)))
+        cams_gt.append(np.concatenate([w, (-R @ C).astype(np.float32)]))
+    cams_gt = np.stack(cams_gt)
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for ci in range(n_cams):
+        R = np.asarray(exp_so3(jnp.asarray(cams_gt[ci, :3])))
+        Xc = X @ R.T + cams_gt[ci, 3:]
+        uv = np.stack([f * Xc[:, 0] / Xc[:, 2] + cx,
+                       f * Xc[:, 1] / Xc[:, 2] + cy], 1)
+        uv += rng.normal(0, 0.2, uv.shape)
+        for pi in range(n_pts):
+            obs_cam.append(ci)
+            obs_pt.append(pi)
+            obs_uv.append(uv[pi])
+    cams0 = cams_gt + rng.normal(0, 0.01, cams_gt.shape).astype(np.float32)
+    cams0[0] = cams_gt[0]
+    X0 = X + rng.normal(0, 0.05, X.shape).astype(np.float32)
+    fixed = np.zeros(n_cams, bool)
+    fixed[0] = True
+    bad = BAProblem(
+        cams=jnp.asarray(cams0), points=jnp.asarray(X0),
+        intr=jnp.asarray([f * 1.05, f * 1.05, cx, cy], jnp.float32),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(np.asarray(obs_uv, np.float32)),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+        cam_fixed=jnp.asarray(fixed))
+
+    out, costs = bundle_adjust(bad, iters=20, opt_intr=True,
+                               intr_mask=(1.0, 1.0, 0.0, 0.0))
+    for f_est in (float(out.intr[0]), float(out.intr[1])):
+        assert abs(f_est - f) / f < 0.005, f"focal {f_est} vs true {f}"
+    # principal point was frozen by the mask
+    np.testing.assert_allclose(np.asarray(out.intr[2:]),
+                               np.asarray(bad.intr[2:]), rtol=0, atol=0)
+    # and without opt_intr the focal error stays (control)
+    out2, _ = bundle_adjust(bad, iters=20)
+    np.testing.assert_allclose(float(out2.intr[0]), f * 1.05)
+
+
 def test_bundle_adjustment_converges():
     rng = np.random.default_rng(4)
     prob, cams_gt, X_gt = _make_ba_problem(rng, noise_px=0.0)

@@ -110,6 +110,69 @@ def test_dense_schur_matches_cg():
                                rtol=1e-3)
 
 
+def test_distributed_joint_intrinsics_matches_single_device():
+    """The joint augmented-Schur intrinsics solve must produce the same
+    refined focal distributed (point-sharded obs, one extra [6Nc,4] +
+    [4,4] psum) as on a single device."""
+    import jax.numpy as jnp
+    from popsift_tpu.parallel.mesh import make_mesh
+    from popsift_tpu.sfm.ba import BAProblem, project
+    from popsift_tpu.sfm.distributed import (
+        make_distributed_ba_fn, partition_by_point)
+    from popsift_tpu.sfm.rotation import exp_so3
+
+    rng = np.random.default_rng(13)
+    f, cx, cy = 500.0, 320.0, 240.0
+    nc, npts = 6, 64
+    X = rng.uniform([-2, -2, -2], [2, 2, 2], (npts, 3)).astype(np.float32)
+    cams = []
+    for i in range(nc):
+        ang = 2 * np.pi * i / nc * 0.3
+        C = np.array([7 * np.sin(ang), 2.5 * np.sin(2 * ang + 1.0),
+                      -7 * np.cos(ang)], np.float32)
+        w = np.array([0.2 * np.sin(3 * i + 0.5), ang,
+                      0.1 * np.cos(2 * i)], np.float32)
+        R = np.asarray(exp_so3(jnp.asarray(w)))
+        cams.append(np.concatenate([w, (-R @ C).astype(np.float32)]))
+    cams = np.stack(cams)
+    intr = jnp.asarray([f, f, cx, cy], jnp.float32)
+    obs_c, obs_p, obs_uv = [], [], []
+    for i in range(nc):
+        for j in range(npts):
+            uv = np.asarray(project(jnp.asarray(cams[i]),
+                                    jnp.asarray(X[j]), intr))
+            obs_c.append(i)
+            obs_p.append(j)
+            obs_uv.append(uv + rng.normal(0, 0.2, 2))
+    prob = BAProblem(
+        cams=jnp.asarray(cams + rng.normal(0, 0.005, cams.shape)
+                         .astype(np.float32)),
+        points=jnp.asarray(X + rng.normal(0, 0.03, X.shape)
+                           .astype(np.float32)),
+        intr=intr * jnp.asarray([1.05, 1.05, 1.0, 1.0]),
+        obs_cam=jnp.asarray(np.array(obs_c, np.int32)),
+        obs_pt=jnp.asarray(np.array(obs_p, np.int32)),
+        obs_uv=jnp.asarray(np.stack(obs_uv).astype(np.float32)),
+        obs_valid=jnp.ones(len(obs_c), bool),
+        cam_fixed=jnp.asarray([True] + [False] * (nc - 1)))
+
+    out_s, costs_s = bundle_adjust(prob, iters=10, dense=True,
+                                   opt_intr=True,
+                                   intr_mask=(1.0, 1.0, 0.0, 0.0))
+    assert abs(float(out_s.intr[0]) - f) / f < 0.01
+
+    mesh = make_mesh(8, axis_name="sp")
+    sh, _ = partition_by_point(prob, 8)
+    ba = make_distributed_ba_fn(mesh, axis_name="sp", iters=10,
+                                dense=True, opt_intr=True,
+                                intr_mask=(1.0, 1.0, 0.0, 0.0))
+    out_d, costs_d = ba(sh)
+    np.testing.assert_allclose(np.asarray(out_d.intr),
+                               np.asarray(out_s.intr), rtol=1e-3)
+    np.testing.assert_allclose(float(costs_d[-1]), float(costs_s[-1]),
+                               rtol=1e-3)
+
+
 def test_distributed_rotation_translation_averaging():
     """Edge-sharded global averaging on the 8-device mesh reproduces the
     single-device solution: each device assembles normal equations from
