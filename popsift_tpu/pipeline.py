@@ -117,8 +117,14 @@ def build_extract_plan(config: SiftConfig, height: int, width: int,
 
 
 def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
-            desc_chunk: int = 1024) -> SiftFeatures:
+            desc_chunk: int = 1024,
+            _stage: str | None = None) -> SiftFeatures:
     """Run the full pipeline on one image. Jit-compatible.
+
+    ``_stage`` is a diagnostics-only early-exit (same phases as
+    ``extract_batch``: "front", "cands", "refine", "grid", "orient") —
+    used by scripts/stage_slope_batch.py --single to re-baseline the
+    per-stage cost table on hardware.
 
     Keypoint-stage math is batched ACROSS octaves: only the phases that
     read octave-shaped images (candidate mask/compact/window DMA,
@@ -166,6 +172,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                   for o, (lv, _) in enumerate(octs)]
         dogc = [assemble_dog_canvas(dg, *dims[o])
                 for o, (_, dg) in enumerate(octs)]
+        if _stage == "front":
+            return gaussc, dogc
         # non-loop descriptor variants read the dense stack in XLA
         need_stack = cfg.desc_mode != "loop"
         blurs = [jnp.stack(lv) if need_stack else None
@@ -176,9 +184,13 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                  for o in range(len(caps))]
     else:
         blurs, dogs = build_pyramid(img_u8, plan.pyramid)
+        if _stage == "front":
+            return blurs, dogs
         # phase 1a: per-octave candidate collection (Pyramid::find_extrema)
         cands = [collect_candidates(dog, cfg, caps[o])
                  for o, dog in enumerate(dogs)]
+    if _stage == "cands":
+        return cands
 
     # phase 1b: one batched refinement over all octaves' candidates,
     # each row carrying its own octave's dimensions
@@ -197,6 +209,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         n_found=jnp.stack([c.n_found for c in cands]).sum(),
         n_dropped=jnp.stack([c.n_dropped for c in cands]).sum())
     g = refine_candidates(merged, cfg, w_row, h_row)
+    if _stage == "refine":
+        return g
 
     # phase 2: global grid-budget filter before the expensive stages
     # (extrema_filter_grid runs before orientation, s_orientation.cu:353-367)
@@ -206,6 +220,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     if cfg.filter_max_extrema > 0:
         gvalid = maybe_grid_filter(g.cell, g.sigma * scale_row, gvalid,
                                    cfg)
+    if _stage == "grid":
+        return gvalid
 
     # phase 3a: per-octave orientation histograms (window reads), one
     # batched peak tail. The padded octave image is built ONCE and
@@ -232,6 +248,8 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                                             dims=dims[octv]))
     oris = orientations_from_histograms(cat(hists), gvalid,
                                         smoothing=cfg.ori_smoothing)
+    if _stage == "orient":
+        return oris
 
     # phase 3b: per-octave descriptor jobs + window-reading kernels;
     # normalization and masking batched at the end

@@ -393,10 +393,16 @@ def _triangulate_all(drv, mult: float = 9.0):
     from .twoview import triangulate
 
     img_of_pos = {k: img for k, img in enumerate(drv.images)}
+    # only registered observers have poses — an incremental run can
+    # finish with unregistered images and their observations must not
+    # feed triangulation (KeyError on rec.cam_R otherwise)
+    reg_pos = np.array([img_of_pos[k] in drv.rec.registered
+                        for k in range(len(drv.images))], bool)
     # per-track observing image positions from the CSR index
     t1, t2, tid = [], [], []
     for tr in range(drv._n_tracks):
         span = drv._tr_img_pos[drv._tr_ptr[tr]:drv._tr_ptr[tr + 1]]
+        span = span[reg_pos[span]]
         if len(span) < 2:
             continue
         # widest baseline pair among (up to) the first/last observers

@@ -131,6 +131,7 @@ class IncrementalSfM:
         self.checkpoint_dir = checkpoint_dir
         self.register_batch = max(1, int(register_batch))
         self._since_ba = 0
+        self._last_rescue_nreg = -1  # registrations at the last drift rescue
 
         t = tracks
         self.images = sorted(set(int(i) for i in t.image_id))
@@ -406,12 +407,12 @@ class IncrementalSfM:
         self._mark_registered(img)
         return True
 
-    def register_next(self) -> int | None:
-        """Register the unregistered image(s) seeing the most
-        reconstructed points (PnP RANSAC), then triangulate their new
-        tracks. Registers up to ``register_batch`` images per call.
-        Returns the last image id registered, or None when no image can
-        be registered."""
+    def _register_pass(self) -> int | None:
+        """One ranked sweep over the registrable candidates, stopping
+        after ``register_batch`` successes. Unlike a fixed top-K batch,
+        a sweep does not give up just because the K highest-covisibility
+        candidates fail PnP — on long sequences the frontier images can
+        transiently fail until retriangulation catches up."""
         seen = np.where(self._reg_mask, -1, self._seen)
         cand_pos = np.nonzero(seen >= self.min_pnp_points)[0]
         if len(cand_pos) == 0:
@@ -419,15 +420,45 @@ class IncrementalSfM:
         # highest count first; ties broken toward the larger image id
         # (matching the original sort of (seen, img) tuples descending)
         order = np.lexsort((-cand_pos, -seen[cand_pos]))
-        chosen = cand_pos[order[:self.register_batch]]
-
         last = None
-        for pos in chosen:
+        n_ok = 0
+        for pos in cand_pos[order]:
             img = self.images[pos]
             if self._register_one(img):
                 self._triangulate_new(img)
                 self._since_ba += 1
                 last = img
+                n_ok += 1
+                if n_ok >= self.register_batch:
+                    break
+        return last
+
+    def register_next(self) -> int | None:
+        """Register the unregistered image(s) seeing the most
+        reconstructed points (PnP RANSAC), then triangulate their new
+        tracks. Registers up to ``register_batch`` images per call.
+        Returns the last image id registered, or None when no image can
+        be registered.
+
+        When EVERY candidate fails, one drift rescue runs (robust BA +
+        full retriangulation — accumulated drift far from the last BA
+        anchor is the usual cause of frontier-wide PnP failure on long
+        sequences) and the sweep retries once; the rescue repeats only
+        if registrations were gained since the previous one, so a truly
+        unregistrable tail still terminates. No rescue runs once every
+        image is registered (nothing left to rescue — and the caller's
+        own final BA should see the unpolished problem)."""
+        last = self._register_pass()
+        if last is None:
+            nreg = len(self.rec.registered)
+            if (nreg and not self._reg_mask.all()
+                    and nreg != self._last_rescue_nreg):
+                self._last_rescue_nreg = nreg
+                self.global_ba(iters=6, huber_delta=2.0)
+                from .global_sfm import _triangulate_all
+                _triangulate_all(self)
+                self._since_ba = 0
+                last = self._register_pass()
         if last is None:
             return None
         if self._since_ba >= self.ba_every:

@@ -18,10 +18,18 @@ INTR = np.array([500.0, 500.0, 320.0, 240.0], np.float32)
 
 
 def make_sequence(rng, n_pts=240, n_cams=40, noise=0.25,
-                  window=8):
+                  window=8, span=None, vis_pts=None):
     """Forward-moving camera over a point cloud; each camera sees a
-    sliding subset of points (video-like visibility, not all-see-all)."""
-    X = rng.uniform([-4, -3, 4], [12, 3, 10],
+    sliding subset of points (video-like visibility, not all-see-all).
+
+    ``span``: x-extent of the cloud. Defaults to the original fixed
+    [-4, 12] box (stable test fixtures); long sequences MUST stretch it
+    with the trajectory (cameras advance 0.25/frame) or late cameras
+    see only a distant degenerate cloud. ``vis_pts``: fixed number of
+    visible points per camera (overrides the fraction-of-n_pts
+    ``window`` rule, which does not scale)."""
+    x_hi = 12.0 if span is None else float(span)
+    X = rng.uniform([-4, -3, 4], [x_hi, 3, 10],
                     size=(n_pts, 3)).astype(np.float32)
     order = np.argsort(X[:, 0])          # sort points along the path
     X = X[order]
@@ -37,7 +45,8 @@ def make_sequence(rng, n_pts=240, n_cams=40, noise=0.25,
         cams.append((R, t))
         # sliding visibility window over the path-sorted points
         lo = int(i / n_cams * n_pts * 0.6)
-        hi = min(n_pts, lo + int(n_pts * (window / 10)))
+        hi = min(n_pts, lo + (int(vis_pts) if vis_pts
+                              else int(n_pts * (window / 10))))
         ids = np.arange(lo, hi)
         Xc = X[ids] @ R.T + t
         ok = Xc[:, 2] > 0.5
