@@ -313,10 +313,14 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     XLA-native equivalent.
 
     ``front_mode`` selects how the per-frame pyramid front is lowered:
-    ``"vmap"`` (one batched program over frames) or ``"unroll"`` (the
+    ``"vmap"`` (one batched program over frames), ``"unroll"`` (the
     per-frame front unrolled F times, each frame writing its levels
     straight into the shared [F*L] canvases — avoids any vmap-induced
-    batched-op relayouts; the front is per-frame compute either way).
+    batched-op relayouts; the front is per-frame compute either way),
+    or ``"scan"`` (lax.scan over frames with the SAME per-frame body
+    the single-frame path runs — canvases stack on the scan output
+    axis, one dynamic-update-slice per octave per frame instead of L,
+    and the front is traced/compiled once instead of F times).
 
     ``_stage`` is a diagnostics-only early-exit: return the named
     phase's intermediate pytree ("front", "cands", "refine", "grid",
@@ -377,13 +381,17 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     else:
         def front(im):
             octs = build_pyramid_octaves(im, plan.pyramid)
-            gs = [assemble_gauss_canvas(lv, *dims[o])
-                  for o, (lv, _) in enumerate(octs)]
-            ds = [assemble_dog_canvas(dg, *dims[o])
-                  for o, (_, dg) in enumerate(octs)]
+            gs = tuple(assemble_gauss_canvas(lv, *dims[o])
+                       for o, (lv, _) in enumerate(octs))
+            ds = tuple(assemble_dog_canvas(dg, *dims[o])
+                       for o, (_, dg) in enumerate(octs))
             return gs, ds
 
-        gaussc, dogc = jax.vmap(front)(imgs_u8)
+        if front_mode == "scan":
+            _, (gaussc, dogc) = jax.lax.scan(
+                lambda c, im: (c, front(im)), 0, imgs_u8)
+        else:
+            gaussc, dogc = jax.vmap(front)(imgs_u8)
         # frames stacked on the layer axis: [F,L,Hp,Wp] -> [F*L,Hp,Wp]
         gc2 = [g.reshape(F * L, g.shape[2], g.shape[3]) for g in gaussc]
         dc2 = [d.reshape(F * (L - 1), d.shape[2], d.shape[3])

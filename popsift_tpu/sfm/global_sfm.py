@@ -301,16 +301,55 @@ def global_sfm(tracks, intr, min_covis: int = 30, max_edges: int = 400,
     order = np.argsort(-C[cand[:, 0], cand[:, 1]])
     cand = cand[order[:max_edges]]
 
-    ei, ej, Rr, tw = [], [], [], []
+    # Per-edge two-view solves, batched 32 edges per device program
+    # (solve_pairs_batch): the serial per-edge form cost ~5 dispatches
+    # x 30-70 ms tunnel RTT each and dominated graphs past a few
+    # hundred edges. Host-side acceptance matches _solve_pair: >= 8
+    # shared tracks, and at least one triangulated point passing the
+    # cheirality + reprojection gate.
+    from .twoview import solve_pairs_batch
+
+    obs = []
     for i, j in cand:
-        sol = drv._solve_pair(images[i], images[j])
-        if sol is None:
+        common = drv._common_tracks(images[i], images[j])
+        if len(common) < 8:
+            obs.append(None)
             continue
-        R2, t2 = sol[0], sol[1]
-        ei.append(i)
-        ej.append(j)
-        Rr.append(R2)                 # R_rel = R_j R_i^T convention
-        tw.append(t2)
+        obs.append((drv.rec.normalized(drv._obs_uv(images[i], common)),
+                    drv.rec.normalized(drv._obs_uv(images[j], common))))
+    ei, ej, Rr, tw = [], [], [], []
+    live = [k for k, o in enumerate(obs) if o is not None]
+    chunk = 32
+    for c0 in range(0, len(live), chunk):
+        ck = live[c0:c0 + chunk]
+        nmax = max(len(obs[k][0]) for k in ck)
+        cap = max(64, 1 << (nmax - 1).bit_length())
+        xa = np.zeros((chunk, cap, 2), np.float32)
+        xb = np.zeros((chunk, cap, 2), np.float32)
+        vp = np.zeros((chunk, cap), bool)
+        for r, k in enumerate(ck):
+            m = len(obs[k][0])
+            xa[r, :m] = obs[k][0]
+            xb[r, :m] = obs[k][1]
+            vp[r, :m] = True
+        R, t, good, X = solve_pairs_batch(
+            drv._next_key(), jnp.asarray(xa), jnp.asarray(xb),
+            jnp.asarray(vp), thresh=drv.reproj_thresh)
+        R, t = np.asarray(R), np.asarray(t)
+        good, X = np.asarray(good), np.asarray(X)
+        for r, k in enumerate(ck):
+            m = len(obs[k][0])
+            g = good[r, :m] & drv._accept_points(
+                X[r, :m].astype(np.float32),
+                [(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                  xa[r, :m]), (R[r], t[r], xb[r, :m])])
+            if not g.any():
+                continue
+            i, j = cand[k]
+            ei.append(i)
+            ej.append(j)
+            Rr.append(R[r])           # R_rel = R_j R_i^T convention
+            tw.append(t[r])
     if len(ei) < n - 1:
         raise ValueError("view graph too sparse for global SfM")
     ei = np.asarray(ei, np.int32)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ba import BAProblem, bundle_adjust
-from .pnp import ransac_pnp
+from .pnp import ransac_pnp_batch
 from .rotation import exp_so3, log_so3
 from .tracks import Tracks
 from .twoview import (ransac_essential, recover_pose, refine_pose,
@@ -121,7 +121,7 @@ class IncrementalSfM:
     def __init__(self, tracks: Tracks, intr, seed: int = 0,
                  min_pnp_points: int = 8, reproj_thresh: float = 2e-4,
                  ba_every: int = 3, checkpoint_dir: str | None = None,
-                 register_batch: int = 1):
+                 register_batch: int = 1, pnp_chunk: int = 16):
         self.tracks = tracks
         self.rec = Reconstruction(intr=np.asarray(intr, np.float32))
         self.key = jax.random.PRNGKey(seed)
@@ -130,6 +130,7 @@ class IncrementalSfM:
         self.ba_every = ba_every
         self.checkpoint_dir = checkpoint_dir
         self.register_batch = max(1, int(register_batch))
+        self.pnp_chunk = max(1, int(pnp_chunk))
         self._since_ba = 0
         self._last_rescue_nreg = -1  # registrations at the last drift rescue
 
@@ -386,33 +387,49 @@ class IncrementalSfM:
         self._checkpoint("init")
         return (a, b)
 
-    def _register_one(self, img: int) -> bool:
-        """PnP-register a single image against the current points."""
-        trs = self._img_tracks[img]
-        known = self._pt_known[trs]
-        sel_tr = trs[known]
-        X = self._pts[sel_tr]
-        uv = self.tracks.uv[self._img_rows_sorted[img][known]]
-        x = self.rec.normalized(uv)
-        N = len(sel_tr)
-        cap = max(64, 1 << (N - 1).bit_length())
-        res = ransac_pnp(self._next_key(),
-                         jnp.asarray(_pad(X, cap)), jnp.asarray(_pad(x, cap)),
-                         jnp.asarray(np.arange(cap) < N),
-                         thresh=self.reproj_thresh)
-        if int(res.n_inliers) < self.min_pnp_points:
-            return False
-        self.rec.cam_R[img] = np.asarray(res.R)
-        self.rec.cam_t[img] = np.asarray(res.t)
-        self._mark_registered(img)
-        return True
+    def _pnp_eval_chunk(self, imgs: list) -> list:
+        """One batched-RANSAC device call evaluating PnP for several
+        candidate images against the CURRENT point snapshot. Returns
+        [(R, t, n_inliers)] per image. The batch is padded to
+        ``pnp_chunk`` rows and pow2 point capacity so the jit cache
+        stays small."""
+        data = []
+        for img in imgs:
+            trs = self._img_tracks[img]
+            known = self._pt_known[trs]
+            sel_tr = trs[known]
+            X = self._pts[sel_tr]
+            uv = self.tracks.uv[self._img_rows_sorted[img][known]]
+            data.append((X, self.rec.normalized(uv)))
+        n_max = max(len(X) for X, _ in data)
+        cap = max(64, 1 << (n_max - 1).bit_length())
+        B = self.pnp_chunk
+        Xp = np.zeros((B, cap, 3), np.float32)
+        xp = np.zeros((B, cap, 2), np.float32)
+        vp = np.zeros((B, cap), bool)
+        for i, (X, x) in enumerate(data):
+            Xp[i, :len(X)] = X
+            xp[i, :len(x)] = x
+            vp[i, :len(X)] = True
+        res = ransac_pnp_batch(self._next_key(), jnp.asarray(Xp),
+                               jnp.asarray(xp), jnp.asarray(vp),
+                               thresh=self.reproj_thresh)
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)
+        ni = np.asarray(res.n_inliers)
+        return [(R[i], t[i], int(ni[i])) for i in range(len(imgs))]
 
     def _register_pass(self) -> int | None:
         """One ranked sweep over the registrable candidates, stopping
         after ``register_batch`` successes. Unlike a fixed top-K batch,
         a sweep does not give up just because the K highest-covisibility
         candidates fail PnP — on long sequences the frontier images can
-        transiently fail until retriangulation catches up."""
+        transiently fail until retriangulation catches up. Candidates
+        are PnP-evaluated ``pnp_chunk`` at a time in one device call
+        (the serial per-candidate variant spent ~40 ms dispatch RTT per
+        FAILING candidate, which dominated 1000-camera runs); every
+        passing candidate in a chunk registers off the shared point
+        snapshot, exactly like the reference-free top-K batch did."""
         seen = np.where(self._reg_mask, -1, self._seen)
         cand_pos = np.nonzero(seen >= self.min_pnp_points)[0]
         if len(cand_pos) == 0:
@@ -420,17 +437,26 @@ class IncrementalSfM:
         # highest count first; ties broken toward the larger image id
         # (matching the original sort of (seen, img) tuples descending)
         order = np.lexsort((-cand_pos, -seen[cand_pos]))
+        cands = cand_pos[order]
         last = None
         n_ok = 0
-        for pos in cand_pos[order]:
-            img = self.images[pos]
-            if self._register_one(img):
+        for c0 in range(0, len(cands), self.pnp_chunk):
+            chunk = cands[c0:c0 + self.pnp_chunk]
+            results = self._pnp_eval_chunk(
+                [self.images[p] for p in chunk])
+            for pos, (R, t, n_inl) in zip(chunk, results):
+                if n_inl < self.min_pnp_points:
+                    continue
+                img = self.images[pos]
+                self.rec.cam_R[img] = R
+                self.rec.cam_t[img] = t
+                self._mark_registered(img)
                 self._triangulate_new(img)
                 self._since_ba += 1
                 last = img
                 n_ok += 1
                 if n_ok >= self.register_batch:
-                    break
+                    return last
         return last
 
     def register_next(self) -> int | None:

@@ -126,3 +126,21 @@ def ransac_pnp(key, X, x, valid, thresh=1e-4, n_hyp=256, refine_iters=10):
     inl_out = jnp.where(better, inlf, inlb & valid)
     return PnPResult(R=R_out, t=t_out, inliers=inl_out,
                      n_inliers=jnp.sum(inl_out, dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def ransac_pnp_batch(key, X, x, valid, thresh=1e-4, n_hyp=256,
+                     refine_iters=10):
+    """PnP RANSAC for B candidate images in ONE device program.
+
+    X [B,N,3], x [B,N,2], valid bool[B,N] (row padding). Returns a
+    PnPResult with leading [B] axes. One dispatch replaces B serial
+    :func:`ransac_pnp` calls — on the tunneled TPU each dispatch costs
+    30-70 ms RTT, which dominated long-sequence registration sweeps
+    (the incremental driver evaluates many failing frontier candidates
+    per accepted image; see IncrementalSfM._register_pass)."""
+    keys = jax.random.split(key, X.shape[0])
+    return jax.vmap(
+        lambda k, Xi, xi, vi: ransac_pnp(
+            k, Xi, xi, vi, thresh=thresh, n_hyp=n_hyp,
+            refine_iters=refine_iters))(keys, X, x, valid)

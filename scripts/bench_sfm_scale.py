@@ -69,7 +69,7 @@ def main():
     timer = DeviceTimer()
     # the driver imports these names at module level — patch its copies
     for name in ("ransac_essential", "recover_pose", "refine_pose",
-                 "triangulate_rows", "ransac_pnp", "bundle_adjust"):
+                 "triangulate_rows", "ransac_pnp_batch", "bundle_adjust"):
         timer.wrap(inc, name)
 
     rng = np.random.default_rng(17)
