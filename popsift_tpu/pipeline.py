@@ -296,7 +296,7 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
 
 
 def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
-                  desc_chunk: int = 1024, front_mode: str = "vmap",
+                  desc_chunk: int = 1024, front_mode: str = "unroll",
                   _stage: str | None = None) -> SiftFeatures:
     """Frame-batched extraction: one XLA program for F frames, every
     output gaining a leading [F] axis.
@@ -313,14 +313,17 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     XLA-native equivalent.
 
     ``front_mode`` selects how the per-frame pyramid front is lowered:
-    ``"vmap"`` (one batched program over frames), ``"unroll"`` (the
-    per-frame front unrolled F times, each frame writing its levels
-    straight into the shared [F*L] canvases — avoids any vmap-induced
-    batched-op relayouts; the front is per-frame compute either way),
-    or ``"scan"`` (lax.scan over frames with the SAME per-frame body
-    the single-frame path runs — canvases stack on the scan output
-    axis, one dynamic-update-slice per octave per frame instead of L,
-    and the front is traced/compiled once instead of F times).
+    ``"unroll"`` (default; the per-frame front unrolled F times, each
+    frame writing its levels straight into the shared [F*L] canvases —
+    avoids any vmap-induced batched-op relayouts), ``"vmap"`` (one
+    batched program over frames), or ``"scan"`` (lax.scan over frames
+    with the SAME per-frame body the single-frame path runs — canvases
+    stack on the scan output axis and the front is traced once instead
+    of F times). Measured at 1080p F=8 on TPU v5e (round 4):
+    unroll 14.49 ms/frame, scan 17.09, vmap ~27 (the BENCH_r03 2x
+    regression — vmapped convs/interleaves relayout badly); the
+    single-frame scan path is 13.7 ms/frame, so batching is
+    count-parity-equal but does NOT beat per-frame scan dispatch.
 
     ``_stage`` is a diagnostics-only early-exit: return the named
     phase's intermediate pytree ("front", "cands", "refine", "grid",
