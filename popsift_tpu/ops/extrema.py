@@ -437,6 +437,159 @@ def collect_candidates_batched(canvas: jnp.ndarray, F: int,
                         n_dropped=n_dropped)
 
 
+class RefinedSet(NamedTuple):
+    """Per-octave output of the fused collect+refine kernel path
+    (:func:`collect_refined`): 13 refinement scalars per candidate
+    instead of a [K, D, 11, 11] patch — the accept tests run batched
+    across octaves in :func:`finalize_refined`."""
+
+    vals: jnp.ndarray      # f32[K, 16] (nx, ny, nz, dx, dy, dz, v,
+    #                        Dx, Dy, Ds, DDx, DDy, DXy, 0, 0, 0)
+    valid: jnp.ndarray     # bool[K] (or [F, K] batched)
+    n_found: jnp.ndarray   # i32[] (or i32[F])
+    n_dropped: jnp.ndarray
+
+
+def collect_refined(cfg: SiftConfig, capacity: int, canvas: jnp.ndarray,
+                    dims: tuple, interpret: bool = False) -> RefinedSet:
+    """Mask + compact + fused in-kernel refinement for one octave's DoG
+    canvas (the TPU production path; reference refines in registers the
+    same way, one thread per extremum, s_extrema.cu:359-460).
+
+    Replaces collect_candidates + the XLA refine loop: the window-DMA
+    kernel no longer writes lane-padded patches to HBM (39 MB at the
+    densest 1080p octave) and the ~400-op one-hot refinement tail
+    collapses into the kernel (round-4 trace: the largest slice of the
+    op-overhead tail)."""
+    from .pallas.refine import refine_windows_pallas
+    from .pyramid import DOG_OX, DOG_OY
+
+    H, W = dims
+    mask = _candidate_mask(None, cfg, canvas=canvas, dims=dims,
+                           interpret=interpret)
+    idx, n_found, n_dropped = _compact_mask(
+        mask.reshape(-1), capacity, block_k=cfg.compact_block_k)
+    cand_valid = jnp.arange(capacity, dtype=jnp.int32) < n_found
+    z0 = (idx // (H * W)).astype(jnp.int32) + 1
+    rem = idx % (H * W)
+    y0 = (rem // W).astype(jnp.int32)
+    x0 = (rem % W).astype(jnp.int32)
+    vals = refine_windows_pallas(
+        canvas, y0, x0, z0, n_found, oy=DOG_OY, ox=DOG_OX, W=W, H=H,
+        maxlevel=cfg.total_levels - 1,
+        vlfeat=cfg.sift_mode == "vlfeat", interpret=interpret)
+    return RefinedSet(vals=vals, valid=cand_valid, n_found=n_found,
+                      n_dropped=n_dropped)
+
+
+def collect_refined_batched(canvas: jnp.ndarray, F: int, cfg: SiftConfig,
+                            capacity: int, dims: tuple,
+                            interpret: bool = False) -> RefinedSet:
+    """Frame-batched :func:`collect_refined`: vals are [F*capacity, 16]
+    frame-major, counts per-frame (mirrors collect_candidates_batched's
+    layout contract)."""
+    from .pallas.extrema_mask import candidate_mask_canvas_batched
+    from .pallas.refine import _G, refine_windows_pallas_batched
+    from .pyramid import DOG_OX, DOG_OY
+
+    H, W = dims
+    D = canvas.shape[0] // F
+    thr1 = np.float32(_first_threshold(cfg))
+    mask = candidate_mask_canvas_batched(canvas, F, H, W, float(thr1),
+                                         interpret=interpret)
+    if cfg.sift_mode == "opencv":
+        ys = jnp.arange(H)
+        xs = jnp.arange(W)
+        border = ((xs < 5) | (xs >= W - 5))[None, None, :] | \
+                 ((ys < 5) | (ys >= H - 5))[None, :, None]
+        mask = mask & ~border[None]
+
+    idx, n_found, n_dropped = jax.vmap(
+        lambda m: _compact_mask(m, capacity,
+                                block_k=cfg.compact_block_k))(
+        mask.reshape(F, -1))
+    cand_valid = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
+                  < n_found[:, None])
+    z0 = (idx // (H * W)).astype(jnp.int32) + 1
+    rem = idx % (H * W)
+    y0 = (rem // W).astype(jnp.int32)
+    x0 = (rem % W).astype(jnp.int32)
+    zb = jnp.broadcast_to(
+        (jnp.arange(F, dtype=jnp.int32) * D)[:, None], (F, capacity))
+    nblk = capacity // _G
+    ba = (jnp.arange(nblk, dtype=jnp.int32)[None, :] * _G
+          < n_found[:, None]).reshape(-1)
+    vals = refine_windows_pallas_batched(
+        canvas, zb.reshape(-1), y0.reshape(-1), x0.reshape(-1),
+        z0.reshape(-1), ba, oy=DOG_OY, ox=DOG_OX, D=D, W=W, H=H,
+        maxlevel=cfg.total_levels - 1,
+        vlfeat=cfg.sift_mode == "vlfeat", interpret=interpret)
+    return RefinedSet(vals=vals, valid=cand_valid, n_found=n_found,
+                      n_dropped=n_dropped)
+
+
+def finalize_refined(state: jnp.ndarray, cand_valid: jnp.ndarray,
+                     cfg: SiftConfig, oct_w, oct_h, n_candidates,
+                     n_dropped, y_offset=0) -> OctaveExtrema:
+    """Final accept tests over refined candidates (the tail of the
+    reference refinement, s_extrema.cu:455-493): excessive-movement,
+    bounds, contrast, curvature-sign and edge-ratio tests, plus sigma
+    and grid-cell assignment.  ``state`` columns are
+    (nx, ny, nz, dx, dy, dz, v, Dx, Dy, Ds, DDx, DDy, DXy) — produced
+    either by the XLA loop in :func:`refine_candidates` or by the fused
+    Pallas kernel (ops/pallas/refine.py); both paths share this code so
+    the accept semantics cannot drift apart."""
+    (nx, nyv, nzv, dx, dy, dz, v,
+     Dx, Dy, Ds, DDx, DDy, DXy) = (state[:, i] for i in range(13))
+    Wb = jnp.asarray(oct_w, jnp.int32)
+    Hb = jnp.asarray(oct_h, jnp.int32)
+    maxlevel = cfg.total_levels - 1
+    thr = np.float32(cfg.peak_threshold)
+    goff = jnp.asarray(y_offset, jnp.int32)
+
+    # excessive movement: positive side only (s_extrema.cu:455-460)
+    ok = cand_valid & ~((dx >= 1.5) | (dy >= 1.5) | (dz >= 1.5))
+
+    xn = nx + dx
+    yn = (nyv + goff.astype(jnp.float32)) + dy    # global row coordinate
+    sn = nzv + dz
+
+    # verify bounds (s_extrema.cu:286-297), rows against the full octave
+    ok = ok & (xn >= 0.0) & (xn <= Wb.astype(jnp.float32) - 1.0) \
+        & (yn >= 0.0) & (yn <= Hb.astype(jnp.float32) - 1.0) \
+        & (sn >= 0.0) & (sn <= maxlevel)
+
+    contr = v + 0.5 * (Dx * dx + Dy * dy + Ds * dz)
+    tr = DDx + DDy
+    det = DDx * DDy - DXy * DXy
+    e = np.float32(cfg.edge_limit)
+    ok = ok & (det > 0.0)
+    ok = ok & (jnp.abs(contr) >= 2.0 * thr)
+    ok = ok & (tr * tr / jnp.where(det > 0, det, 1.0)
+               < (e + 1.0) * (e + 1.0) / e)
+
+    sigma0 = np.float32(cfg.sigma)
+    sigma = sigma0 * jnp.exp2(sn / np.float32(cfg.levels))
+
+    w_div = Wb.astype(jnp.float32) / np.float32(cfg.filter_grid_size)
+    h_div = Hb.astype(jnp.float32) / np.float32(cfg.filter_grid_size)
+    cell = (jnp.floor(yn / h_div) * cfg.filter_grid_size
+            + jnp.floor(xn / w_div)).astype(jnp.int32)
+
+    return OctaveExtrema(
+        x=jnp.where(ok, xn, 0.0),
+        y=jnp.where(ok, yn, 0.0),
+        s=jnp.where(ok, sn, 0.0),
+        level=jnp.where(ok, jnp.round(sn).astype(jnp.int32), 0),
+        sigma=jnp.where(ok, sigma, 0.0),
+        cell=jnp.where(ok, cell, 0),
+        valid=ok,
+        count=jnp.sum(ok, dtype=jnp.int32),
+        n_candidates=n_candidates,
+        n_dropped=n_dropped,
+    )
+
+
 def refine_candidates(cand: CandidateSet, cfg: SiftConfig,
                       oct_w, oct_h, y_offset=0) -> OctaveExtrema:
     """5-iteration masked sub-pixel refinement + final tests over a
@@ -455,7 +608,6 @@ def refine_candidates(cand: CandidateSet, cfg: SiftConfig,
     Wb = jnp.asarray(oct_w, jnp.int32)           # bound arrays (broadcast)
     Hb = jnp.asarray(oct_h, jnp.int32)
     maxlevel = cfg.total_levels - 1
-    thr = np.float32(cfg.peak_threshold)
     vlfeat = cfg.sift_mode == "vlfeat"
     goff = jnp.asarray(y_offset, jnp.int32)
     x0, y0, z0, cand_valid = cand.x0, cand.y0, cand.z0, cand.valid
@@ -558,47 +710,14 @@ def refine_candidates(cand: CandidateSet, cfg: SiftConfig,
         else:
             done = done | act
 
-    # excessive movement: positive side only (s_extrema.cu:455-460)
-    ok = cand_valid & ~((dx >= 1.5) | (dy >= 1.5) | (dz >= 1.5))
-
-    xn = nx.astype(jnp.float32) + dx
-    yn = (ny + goff).astype(jnp.float32) + dy     # global row coordinate
-    sn = nz.astype(jnp.float32) + dz
-
-    # verify bounds (s_extrema.cu:286-297), rows against the full octave
-    ok = ok & (xn >= 0.0) & (xn <= Wb.astype(jnp.float32) - 1.0) \
-        & (yn >= 0.0) & (yn <= Hb.astype(jnp.float32) - 1.0) \
-        & (sn >= 0.0) & (sn <= maxlevel)
-
-    contr = v + 0.5 * (Dx * dx + Dy * dy + Ds * dz)
-    tr = DDx + DDy
-    det = DDx * DDy - DXy * DXy
-    e = np.float32(cfg.edge_limit)
-    ok = ok & (det > 0.0)
-    ok = ok & (jnp.abs(contr) >= 2.0 * thr)
-    ok = ok & (tr * tr / jnp.where(det > 0, det, 1.0)
-               < (e + 1.0) * (e + 1.0) / e)
-
-    sigma0 = np.float32(cfg.sigma)
-    sigma = sigma0 * jnp.exp2(sn / np.float32(cfg.levels))
-
-    w_div = Wb.astype(jnp.float32) / np.float32(cfg.filter_grid_size)
-    h_div = Hb.astype(jnp.float32) / np.float32(cfg.filter_grid_size)
-    cell = (jnp.floor(yn / h_div) * cfg.filter_grid_size
-            + jnp.floor(xn / w_div)).astype(jnp.int32)
-
-    return OctaveExtrema(
-        x=jnp.where(ok, xn, 0.0),
-        y=jnp.where(ok, yn, 0.0),
-        s=jnp.where(ok, sn, 0.0),
-        level=jnp.where(ok, jnp.round(sn).astype(jnp.int32), 0),
-        sigma=jnp.where(ok, sigma, 0.0),
-        cell=jnp.where(ok, cell, 0),
-        valid=ok,
-        count=jnp.sum(ok, dtype=jnp.int32),
-        n_candidates=cand.n_found,
-        n_dropped=cand.n_dropped,
-    )
+    # final accept tests shared with the fused-kernel path
+    state = jnp.stack([
+        nx.astype(jnp.float32), ny.astype(jnp.float32),
+        nz.astype(jnp.float32), dx, dy, dz, v,
+        Dx, Dy, Ds, DDx, DDy, DXy], axis=1)
+    return finalize_refined(state, cand_valid, cfg, oct_w, oct_h,
+                            cand.n_found, cand.n_dropped,
+                            y_offset=y_offset)
 
 
 def detect_extrema(dog: jnp.ndarray, cfg: SiftConfig, capacity: int,

@@ -179,10 +179,23 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
         blurs = [jnp.stack(lv) if need_stack else None
                  for lv, _ in octs]
         padded = gaussc
-        cands = [collect_candidates(None, cfg, caps[o], canvas=dogc[o],
-                                    dims=dims[o])
-                 for o in range(len(caps))]
+        from .ops.pallas.refine import refine_pallas_available
+        fused_refine = refine_pallas_available()
+        if fused_refine:
+            # fused collect+refine: the window kernel refines in VMEM
+            # and emits 13 scalars/candidate instead of a 4 KB patch
+            # (the reference refines in registers the same way, one
+            # thread per extremum, s_extrema.cu:359-460); the accept
+            # tests still run once, batched across octaves
+            from .ops.extrema import collect_refined
+            cands = [collect_refined(cfg, caps[o], dogc[o], dims[o])
+                     for o in range(len(caps))]
+        else:
+            cands = [collect_candidates(None, cfg, caps[o],
+                                        canvas=dogc[o], dims=dims[o])
+                     for o in range(len(caps))]
     else:
+        fused_refine = False
         blurs, dogs = build_pyramid(img_u8, plan.pyramid)
         if _stage == "front":
             return blurs, dogs
@@ -192,8 +205,9 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     if _stage == "cands":
         return cands
 
-    # phase 1b: one batched refinement over all octaves' candidates,
-    # each row carrying its own octave's dimensions
+    # phase 1b: one batched refinement (or, on the fused path, just the
+    # batched accept tests) over all octaves' candidates, each row
+    # carrying its own octave's dimensions
     octv_row = np.concatenate(
         [np.full(caps[o], o, np.int32) for o in range(len(caps))])
     w_row = np.concatenate(
@@ -202,13 +216,23 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     h_row = np.concatenate(
         [np.full(caps[o], oh, np.int32)
          for o, (oh, ow) in enumerate(plan.pyramid.dims)])
-    merged = CandidateSet(
-        patches=cat([c.patches for c in cands]),
-        x0=cat([c.x0 for c in cands]), y0=cat([c.y0 for c in cands]),
-        z0=cat([c.z0 for c in cands]), valid=cat([c.valid for c in cands]),
-        n_found=jnp.stack([c.n_found for c in cands]).sum(),
-        n_dropped=jnp.stack([c.n_dropped for c in cands]).sum())
-    g = refine_candidates(merged, cfg, w_row, h_row)
+    if fused_refine:
+        from .ops.extrema import finalize_refined
+        g = finalize_refined(
+            cat([r.vals for r in cands]),
+            cat([r.valid for r in cands]), cfg, w_row, h_row,
+            jnp.stack([r.n_found for r in cands]).sum(),
+            jnp.stack([r.n_dropped for r in cands]).sum())
+    else:
+        merged = CandidateSet(
+            patches=cat([c.patches for c in cands]),
+            x0=cat([c.x0 for c in cands]),
+            y0=cat([c.y0 for c in cands]),
+            z0=cat([c.z0 for c in cands]),
+            valid=cat([c.valid for c in cands]),
+            n_found=jnp.stack([c.n_found for c in cands]).sum(),
+            n_dropped=jnp.stack([c.n_dropped for c in cands]).sum())
+        g = refine_candidates(merged, cfg, w_row, h_row)
     if _stage == "refine":
         return g
 
@@ -402,13 +426,24 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     if _stage == "front":
         return gc2, dc2
 
-    # phase 1a: one mask + window launch per octave for all F frames
-    cands = [collect_candidates_batched(dc2[o], F, cfg, caps[o], dims[o])
-             for o in range(n_oct)]
+    # phase 1a: one mask + fused refine-window launch per octave for
+    # all F frames
+    from .ops.extrema import collect_refined_batched, finalize_refined
+    from .ops.pallas.refine import refine_pallas_available
+    fused_refine = refine_pallas_available()
+    if fused_refine:
+        cands = [collect_refined_batched(dc2[o], F, cfg, caps[o],
+                                         dims[o])
+                 for o in range(n_oct)]
+    else:
+        cands = [collect_candidates_batched(dc2[o], F, cfg, caps[o],
+                                            dims[o])
+                 for o in range(n_oct)]
     if _stage == "cands":
         return cands
 
-    # phase 1b: one refinement over all frames' and octaves' candidates
+    # phase 1b: one refinement (fused: accept tests only) over all
+    # frames' and octaves' candidates
     octv_row = np.concatenate(
         [np.full(caps[o], o, np.int32) for o in range(n_oct)])
     w_row = np.concatenate(
@@ -419,20 +454,32 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
          for o, (oh, ow) in enumerate(dims)])
     cat1 = lambda xs: jnp.concatenate(xs, axis=1)       # [F, Ktot]
     fl = lambda a: a.reshape((F * Ktot,) + a.shape[2:])
-    merged = CandidateSet(
-        patches=jnp.concatenate(
-            [c.patches.reshape((F, caps[o]) + c.patches.shape[1:])
-             for o, c in enumerate(cands)], axis=1).reshape(
-                 (F * Ktot,) + cands[0].patches.shape[1:]),
-        x0=fl(cat1([c.x0 for c in cands])),
-        y0=fl(cat1([c.y0 for c in cands])),
-        z0=fl(cat1([c.z0 for c in cands])),
-        valid=fl(cat1([c.valid for c in cands])),
-        n_found=jnp.stack([c.n_found for c in cands], axis=1).sum(),
-        n_dropped=jnp.stack([c.n_dropped for c in cands], axis=1).sum())
     wt = np.tile(w_row, F)
     ht = np.tile(h_row, F)
-    g = refine_candidates(merged, cfg, wt, ht)
+    if fused_refine:
+        vals = jnp.concatenate(
+            [r.vals.reshape(F, caps[o], r.vals.shape[-1])
+             for o, r in enumerate(cands)], axis=1).reshape(
+                 F * Ktot, cands[0].vals.shape[-1])
+        g = finalize_refined(
+            vals, fl(cat1([r.valid for r in cands])), cfg, wt, ht,
+            jnp.stack([r.n_found for r in cands], axis=1).sum(),
+            jnp.stack([r.n_dropped for r in cands], axis=1).sum())
+    else:
+        merged = CandidateSet(
+            patches=jnp.concatenate(
+                [c.patches.reshape((F, caps[o]) + c.patches.shape[1:])
+                 for o, c in enumerate(cands)], axis=1).reshape(
+                     (F * Ktot,) + cands[0].patches.shape[1:]),
+            x0=fl(cat1([c.x0 for c in cands])),
+            y0=fl(cat1([c.y0 for c in cands])),
+            z0=fl(cat1([c.z0 for c in cands])),
+            valid=fl(cat1([c.valid for c in cands])),
+            n_found=jnp.stack([c.n_found for c in cands],
+                              axis=1).sum(),
+            n_dropped=jnp.stack([c.n_dropped for c in cands],
+                                axis=1).sum())
+        g = refine_candidates(merged, cfg, wt, ht)
     if _stage == "refine":
         return g
 
