@@ -134,6 +134,45 @@ def check_window(dog, results):
     results["window_dma"] = {"max_abs_diff": d, "pass": d == 0.0}
 
 
+def check_refine(dog, cfg, results):
+    """Fused collect+refine kernel (non-interpreted) vs the XLA
+    collect_candidates + refine_candidates path on the same canvas.
+    Counts and validity masks must match exactly; floats at 1e-5
+    (the two programs can differ by ~1 ULP in FMA choices)."""
+    from popsift_tpu.ops.extrema import (collect_candidates,
+                                         collect_refined,
+                                         finalize_refined,
+                                         refine_candidates)
+    from popsift_tpu.ops.pyramid import assemble_dog_canvas
+
+    D, H, W = dog.shape
+    cap = 512
+    canvas = jax.jit(lambda d: assemble_dog_canvas(
+        [d[i] for i in range(D)], H, W))(dog)
+
+    plain = collect_candidates(None, cfg, cap, canvas=canvas,
+                               dims=(H, W))
+    ref = jax.block_until_ready(refine_candidates(plain, cfg, W, H))
+    rset = jax.jit(lambda c: collect_refined(cfg, cap, c, (H, W)))(canvas)
+    got = jax.block_until_ready(finalize_refined(
+        rset.vals, rset.valid, cfg, W, H, rset.n_found, rset.n_dropped))
+
+    same_valid = bool(np.array_equal(np.asarray(got.valid),
+                                     np.asarray(ref.valid)))
+    n = int(ref.count)
+    pos_d = max(_maxdiff(got.x, ref.x), _maxdiff(got.y, ref.y),
+                _maxdiff(got.s, ref.s))
+    results["refine_fused"] = {
+        "n_accepted": n,
+        "n_candidates": int(plain.n_found),
+        "valid_set_equal": same_valid,
+        "count_equal": int(got.count) == n,
+        "max_field_diff": pos_d,
+        "pass": same_valid and int(got.count) == n >= 20
+        and pos_d < 1e-4,
+    }
+
+
 def check_orient_desc(blur, ext, cfg, results):
     from popsift_tpu.ops.descriptors import (compute_descriptors,
                                              make_descriptor_jobs)
@@ -182,6 +221,7 @@ def check_full_pipeline(img, cfg, results):
     import popsift_tpu.ops.pallas.desc as desc_mod
     import popsift_tpu.ops.pallas.extrema_mask as mask_mod
     import popsift_tpu.ops.pallas.orient as ori_mod
+    import popsift_tpu.ops.pallas.refine as ref_mod
     import popsift_tpu.ops.pallas.window as win_mod
     from popsift_tpu.pipeline import build_extract_plan, make_extract_fn
 
@@ -193,7 +233,8 @@ def check_full_pipeline(img, cfg, results):
              (win_mod, "window_pallas_available"),
              (ori_mod, "ori_pallas_available"),
              (desc_mod, "desc_pallas_available"),
-             (blur_mod, "blur_dog_available")]
+             (blur_mod, "blur_dog_available"),
+             (ref_mod, "refine_pallas_available")]
     saved = [(m, n, getattr(m, n)) for m, n in gates]
     try:
         for m, n, _ in saved:
@@ -271,6 +312,7 @@ def main():
     check_mask(dog, cfg, results)
     check_mask_canvas(dog, cfg, results)
     check_window(dog, results)
+    check_refine(dog, cfg, results)
     ext = detect_extrema(dog, cfg, 512, ow, oh)
     check_orient_desc(blur, ext, cfg, results)
     check_full_pipeline(jnp.asarray(img), cfg, results)
