@@ -57,6 +57,64 @@ def _checksum(out):
             + jnp.sum(out.desc_kp.astype(jnp.float32)))
 
 
+def measure_matmul_peak_tflops(n=4096, chain=8, reps=3):
+    """In-session dense-matmul peak (bf16), chained through a data
+    dependency so the tunnel cannot short-circuit. The tunneled v5e
+    allocation varies per round (8.8 TF r1, 35 TF r2 — CLAUDE.md), so
+    every MFU figure must be quoted against a same-session peak."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def burn(x):
+        y = x
+        for _ in range(chain):
+            y = (y @ a) * jnp.bfloat16(1e-3)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(np.asarray(burn(a)))                      # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(burn(a)))
+        ts.append(time.perf_counter() - t0)
+    flops = chain * 2.0 * n ** 3
+    return flops / min(ts) / 1e12
+
+
+def analytic_extraction_gflop(plan):
+    """Coarse analytic per-frame op count (f32 FLOPs + comparisons) of
+    the extraction pipeline — the 'useful work' numerator for the MFU
+    line. Convention: 1 MAC = 2 ops, comparisons/selects count 1; only
+    the five structural stages are modeled (pyramid convs + DoG, mask
+    stencil, refinement algebra, orientation windows, descriptor
+    windows); bookkeeping (compaction, canvas writes) is excluded. This
+    deliberately measures algorithmic work, so MFU exposes overhead.
+    """
+    cfg = plan.config
+    L = cfg.total_levels
+    ops = 0.0
+    kx = plan.pyramid.lvl0_kernel_x.shape[0]
+    ky = plan.pyramid.lvl0_kernel_y.shape[0]
+    h0, w0 = plan.pyramid.dims[0]
+    ops += (kx + ky) * 2.0 * h0 * w0               # octave-0 level 0
+    for (h, w) in plan.pyramid.dims:
+        for lv in range(1, L):
+            k = plan.pyramid.inc_kernels[lv].shape[0]
+            ops += 2.0 * k * 2.0 * h * w           # separable blur
+        ops += (L - 1.0) * h * w                   # DoG
+        ops += (L - 3.0) * h * w * 52.0            # 26-neighbor stencil
+    K = plan.total_kp_capacity
+    ops += K * 5.0 * 250.0                         # 5-iter refinement
+    R = 20                                         # typical ori radius
+    ops += K * (2.0 * R + 2.0) ** 2 * 12.0         # orientation windows
+    P = 72                                         # typical desc rows
+    ops += plan.total_desc_capacity * P * 128.0 * 70.0
+    return ops / 1e9
+
+
 def _timed(fn, x, n_frames, k=4, reps=3):
     """Tunnel-proof device-time measurement.
 
@@ -174,6 +232,20 @@ def main(h=1080, w=1920, B=16, F=(4, 8, 16)):
 
     fps = best[1]
     invalid = fps == float("-inf")
+
+    # MFU vs a same-session measured matmul peak (the tunneled slice's
+    # allocation varies per round; never quote stale peaks)
+    try:
+        peak_tf = measure_matmul_peak_tflops()
+        gflop = analytic_extraction_gflop(plan)
+        mfu = (None if invalid
+               else round(gflop * fps / (peak_tf * 1e3), 5))
+        mfu_detail = {"matmul_peak_tflops_bf16": round(peak_tf, 1),
+                      "analytic_gflop_per_frame": round(gflop, 2),
+                      "extraction_mfu": mfu}
+    except Exception as e:  # noqa: BLE001 — bench must always report
+        mfu_detail = {"mfu_error": repr(e)[:120]}
+
     print(json.dumps({
         "metric": "sift_1080p_fps_per_chip",
         "value": None if invalid else round(fps, 2),
@@ -185,7 +257,8 @@ def main(h=1080, w=1920, B=16, F=(4, 8, 16)):
                    "dispatch_ms": round(disp_s * 1e3, 1),
                    "timing": "slope of k-chained dispatches "
                              "(RTT-free device time)",
-                   "device": str(jax.devices()[0])},
+                   "device": str(jax.devices()[0]),
+                   **mfu_detail},
     }))
 
 

@@ -54,10 +54,11 @@ class DescriptorJobs(NamedTuple):
 def make_descriptor_jobs(ext: OctaveExtrema, oris: OctaveOrientations,
                          capacity: int) -> DescriptorJobs:
     """Flatten (extremum, orientation) pairs into a padded job list."""
+    from .extrema import first_set_indices
     K = ext.x.shape[0]
     flat = oris.ori_valid.reshape(-1)
     n = jnp.minimum(jnp.sum(flat, dtype=jnp.int32), capacity)
-    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=0)
+    idx = first_set_indices(flat, capacity)
     valid = jnp.arange(capacity, dtype=jnp.int32) < n
     kp = (idx // ORIENTATION_MAX_COUNT).astype(jnp.int32)
     slot = (idx % ORIENTATION_MAX_COUNT).astype(jnp.int32)
@@ -461,16 +462,29 @@ def compute_descriptors(blur: jnp.ndarray | None, jobs: DescriptorJobs,
             if padded is None:
                 from .orientation import pad_for_window_kernels
                 padded = pad_for_window_kernels(blur, H, W)
-            # sigma bucketing: level <= 2 keypoints (the bulk) take the
-            # small-window kernel instance
-            sigma_split = cfg.sigma * 2.0 ** (2.5 / cfg.levels)
-            radius_small = int(
-                math.ceil(2.5 * math.sqrt(2.0)
-                          * DESC_MAGNIFY * sigma_split)) + 2
-            if radius > radius_small + 8:
-                return descriptor_loop_pallas_bucketed(
-                    padded, jobs, radius, sigma_split, radius_small,
-                    H, W)
+            # sigma bucketing: low-level keypoints (the bulk) take
+            # small-window kernel instances. Split candidates at the
+            # per-level sigma bounds (sn < l + 0.5); keep a split only
+            # when its static patch rows P drop by >= 16 vs the next
+            # bucket (P granularity is 8 sublanes).
+            from .pallas.desc import descriptor_loop_pallas_multibucket
+
+            def rows_for(r):
+                return min(-(-(2 * r + 2) // 8) * 8, 104)
+
+            cand = []
+            for lvl_hi in (1, 2):
+                s_hi = cfg.sigma * 2.0 ** ((lvl_hi + 0.5) / cfg.levels)
+                r = int(math.ceil(2.5 * math.sqrt(2.0)
+                                  * DESC_MAGNIFY * s_hi)) + 2
+                cand.append((s_hi, r))
+            buckets = [(None, radius)]
+            for s_hi, r in reversed(cand):
+                if rows_for(r) + 16 <= rows_for(buckets[0][1]):
+                    buckets.insert(0, (s_hi, r))
+            if len(buckets) > 1:
+                return descriptor_loop_pallas_multibucket(
+                    padded, jobs, buckets, H, W)
             return descriptor_loop_pallas_dma(padded, jobs, radius, H, W)
 
         img = pad_for_patches(blur, 2 * radius + 1)

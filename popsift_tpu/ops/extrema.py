@@ -156,32 +156,39 @@ def _solve3(a00, a01, a02, a11, a12, a22, b0, b1, b2):
         jnp.where(singular, z, x1), jnp.where(singular, z, x2)
 
 
+def first_set_indices(mask: jnp.ndarray, size: int,
+                      fill: int = 0) -> jnp.ndarray:
+    """Ascending indices of the first ``size`` set bits of a 1-D bool
+    mask — ``jnp.nonzero(mask, size=size, fill_value=fill)`` semantics
+    as ONE ``lax.sort``. nonzero's cumsum+bincount lowering emits a
+    scatter (serialized on TPU) per call; the job-list builders call
+    this once per octave per frame.
+    """
+    n = mask.shape[0]
+    keys = jnp.where(mask, jax.lax.iota(jnp.int32, n), jnp.int32(n))
+    skeys = jax.lax.sort(keys)[:size]
+    return jnp.where(skeys >= n, jnp.int32(fill), skeys)
+
+
 def _rank_compact_rows(m: jnp.ndarray, K: int):
     """Per-row rank compaction of a [nb, 128] boolean mask: returns
-    (pos i8[nb, K] lane of the j-th set bit, full_cnt i32[nb]).
+    (pos i32[nb, K] lane of the j-th set bit, full_cnt i32[nb]).
 
-    Within each 128-lane row an inclusive lane prefix-sum (7 shifted
-    int8 adds) ranks the set bits — the moral equivalent of the
-    reference's warp-ballot compaction (s_extrema.cu:22-44) — and K
-    per-rank masked reductions turn ranks into lane positions. int8
-    throughout (ranks <= 128 fit; (32, 128) tiles keep traffic 4x below
-    int32). Overflow at a fully-set row wraps to -128, which never
-    matches the j+1 <= K comparisons.
+    One per-row ascending ``lax.sort`` of (set ? lane : B) puts the set
+    lanes' positions first — the moral equivalent of the reference's
+    warp-ballot compaction (s_extrema.cu:22-44) as a single fused HLO.
+    (The previous formulation — a lane prefix-sum plus K per-rank
+    masked reductions — emitted K+7 separate ops per call and was the
+    largest family in the round-4 small-op trace tail.) Ranks past the
+    row's count report position 0, matching the old contract.
     """
     nb, B = m.shape
-    A = m.astype(jnp.int8)
-    d = 1
-    while d < B:
-        A = A + jnp.pad(A, ((0, 0), (d, 0)))[:, :B]
-        d *= 2
-    A = jnp.where(m, A, jnp.int8(0))          # rank (1-based) of set bits
-    # the max rank saturates at 127, so a 100%-dense row under-reports
-    # its count by exactly one — irrelevant for the signals using it
-    full_cnt = jnp.max(A, axis=1).astype(jnp.int32)
-    iota8 = jax.lax.broadcasted_iota(jnp.int8, (nb, B), 1)  # 0..127 fits
-    pos = jnp.stack(
-        [jnp.max(jnp.where(A == jnp.int8(j + 1), iota8, jnp.int8(0)),
-                 axis=1) for j in range(K)], axis=1)        # [nb, K] i8
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nb, B), 1)
+    keys = jnp.where(m, iota, jnp.int32(B))       # unset lanes sort last
+    skeys = jax.lax.sort(keys, dimension=1)       # ascending
+    pos = skeys[:, :K]
+    pos = jnp.where(pos >= B, 0, pos)             # overflow ranks -> 0
+    full_cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
     return pos, full_cnt
 
 
@@ -198,12 +205,11 @@ def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
        only full-mask traffic: a bool read + i32 row reduce);
     2. the ids of the first up-to-``capacity`` NON-EMPTY blocks are
        compacted recursively (the level-2 mask is nb bits — trivial);
-    3. only those blocks' mask rows are gathered, and the expensive
-       rank phase (:func:`_rank_compact_rows`: 7 shifted adds + K
-       per-rank reductions) runs on the [<=capacity, 128] gathered
-       rows instead of the full mask — on a 24.9M 1080p mask that
-       replaced ~1.4 ms/frame of dense int8 passes with work
-       proportional to the candidate count;
+    3. only those blocks' mask rows are gathered, and the rank phase
+       (:func:`_rank_compact_rows`: one per-row lane sort) runs on the
+       [<=capacity, 128] gathered rows instead of the full mask — on a
+       24.9M 1080p mask that replaced ~1.4 ms/frame of dense int8
+       passes with work proportional to the candidate count;
     4. block write offsets come from one small cumsum over block
        counts, and the output is *gathered* (searchsorted over
        offsets) rather than scattered, so no second nonzero is needed.
@@ -263,8 +269,13 @@ def _compact_mask(flat: jnp.ndarray, capacity: int, block_k: int = 0):
     off = jnp.cumsum(cnt) - cnt               # exclusive block offsets
     total = jnp.minimum(off[-1] + cnt[-1], capacity)
     s = jnp.arange(capacity, dtype=jnp.int32)
-    b = jnp.clip(jnp.searchsorted(off, s, side="right").astype(jnp.int32)
-                 - 1, 0, nsel - 1)
+    # block lookup b[s] = searchsorted(off, s, "right") - 1 as a dense
+    # compare-sum: jnp.searchsorted lowers to a log2(n)-iteration while
+    # loop whose per-iteration dispatch cost (~0.3 ms/frame across the
+    # octaves at 1080p, round-5 trace) dwarfs this one fused
+    # [capacity, nsel] reduction.
+    b = jnp.clip(jnp.sum((off[None, :] <= s[:, None]), axis=1,
+                         dtype=jnp.int32) - 1, 0, nsel - 1)
     j = jnp.clip(s - off[b], 0, K - 1)
     flat_idx = (bids[b] * B
                 + pos.reshape(-1)[b * K + j].astype(jnp.int32))

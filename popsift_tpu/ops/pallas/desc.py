@@ -352,46 +352,64 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
     return out.reshape(-1, 128)[:F]
 
 
-def descriptor_loop_pallas_bucketed(blur, jobs, radius, sigma_split,
-                                    radius_small, H, W,
-                                    interpret: bool = False):
-    """Sigma-bucketed descriptor extraction: jobs with
-    sigma <= sigma_split run through a small-window kernel instance
-    (P ~ 72 rows instead of 104), the rest through the full-window one.
+def descriptor_loop_pallas_multibucket(blur, jobs, buckets, H, W,
+                                       interpret: bool = False):
+    """Sigma-bucketed descriptor extraction over N kernel instances.
 
-    Per-job VPU cost scales with the static patch rows P, but most
-    keypoints sit at low levels (small sigma) — the reference's loop
-    variant gets the same effect from its data-dependent bbox
-    (s_desc_loop.cu:58-91), which static shapes cannot express; two
-    kernel instances with front-packed job lists recover most of it
-    (the kernels skip grid blocks past their job count, so compute
+    ``buckets`` is an ascending list of ``(sigma_hi, radius)`` pairs
+    (the last entry's ``sigma_hi`` is ignored — it catches the rest):
+    jobs route to the first bucket whose ``sigma_hi`` bounds their
+    sigma, and each bucket runs a kernel instance whose static patch
+    rows P are sized to its radius. Per-job VPU cost scales with P,
+    but most keypoints sit at low levels (small sigma) — the
+    reference's loop variant gets the same effect from its
+    data-dependent bbox (s_desc_loop.cu:58-91), which static shapes
+    cannot express; front-packed per-bucket job lists recover most of
+    it (the kernels skip grid blocks past their job count, so compute
     follows the actual bucket sizes, not the padded capacity).
     """
+    from ..descriptors import DescriptorJobs
+    from ..extrema import first_set_indices
+
     F = jobs.x.shape[0]
-    small = jobs.valid & (jobs.sigma <= sigma_split)
-    large = jobs.valid & ~small
+    masks = []
+    remaining = jobs.valid
+    for s_hi, _ in buckets[:-1]:
+        m = remaining & (jobs.sigma <= s_hi)
+        masks.append(m)
+        remaining = remaining & ~m
+    masks.append(remaining)
 
     def bucket(mask):
         n = jnp.sum(mask, dtype=jnp.int32)
-        (idx,) = jnp.nonzero(mask, size=F, fill_value=0)
+        idx = first_set_indices(mask, F)
         sel = lambda a: a[idx]
-        from ..descriptors import DescriptorJobs
         return DescriptorJobs(
             x=sel(jobs.x), y=sel(jobs.y), sigma=sel(jobs.sigma),
             level=sel(jobs.level), ang=sel(jobs.ang),
             kp_index=sel(jobs.kp_index),
             valid=jnp.arange(F, dtype=jnp.int32) < n, count=n)
 
-    out_s = descriptor_loop_pallas_dma(blur, bucket(small), radius_small,
-                                       H, W, interpret=interpret)
-    out_l = descriptor_loop_pallas_dma(blur, bucket(large), radius,
-                                       H, W, interpret=interpret)
+    outs = [descriptor_loop_pallas_dma(blur, bucket(m), rad, H, W,
+                                       interpret=interpret)
+            for m, (_, rad) in zip(masks, buckets)]
     # gather back to original row order (ranks within each bucket)
-    rs = jnp.cumsum(small.astype(jnp.int32)) - 1
-    rl = jnp.cumsum(large.astype(jnp.int32)) - 1
-    src = jnp.where(small, rs, F + rl)
-    out = jnp.concatenate([out_s, out_l], axis=0)[src]
+    src = jnp.zeros((F,), jnp.int32)
+    for i, m in enumerate(masks):
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        src = jnp.where(m, i * F + rank, src)
+    out = jnp.concatenate(outs, axis=0)[src]
     return jnp.where(jobs.valid[:, None], out, 0.0)
+
+
+def descriptor_loop_pallas_bucketed(blur, jobs, radius, sigma_split,
+                                    radius_small, H, W,
+                                    interpret: bool = False):
+    """Two-bucket convenience form of
+    :func:`descriptor_loop_pallas_multibucket`."""
+    return descriptor_loop_pallas_multibucket(
+        blur, jobs, [(sigma_split, radius_small), (None, radius)],
+        H, W, interpret=interpret)
 
 
 def desc_pallas_available() -> bool:

@@ -236,8 +236,9 @@ def orientation_hist_pallas_bucketed(blur, ext, radius, sigma_split,
     large = ext.valid & ~small
 
     def bucket(mask):
+        from ..extrema import first_set_indices
         n = jnp.sum(mask, dtype=jnp.int32)
-        (idx,) = jnp.nonzero(mask, size=K, fill_value=0)
+        idx = first_set_indices(mask, K)
         sel = lambda a: a[idx]
         return ext._replace(
             x=sel(ext.x), y=sel(ext.y), s=sel(ext.s),

@@ -405,6 +405,13 @@ def refine_windows_pallas_batched(canvas, zbase, y_loc, x_loc, z0,
 
 
 def refine_pallas_available() -> bool:
+    """True when the fused collect+refine kernel is the production
+    path: TPU backend, unless disabled via POPSIFT_TPU_FUSED_REFINE=0
+    (the A/B switch used by bench/stage tooling; BASELINE.md round-4/5
+    record the measured trade against the XLA patch-refine path)."""
+    import os
+    if os.environ.get("POPSIFT_TPU_FUSED_REFINE", "1") == "0":
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:

@@ -136,19 +136,26 @@ def _conv1d_valid(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     digits — fatal for DoG thresholding. The shift-add form stays in f32
     on the VPU, fuses with neighbours, and exploits kernel symmetry
     (half the multiplies), mirroring the reference's paired-tap loop
-    (s_pyramid_build_aa.cu:35-49)."""
+    (s_pyramid_build_aa.cu:35-49).
+
+    Slices run along ``axis`` in place (no moveaxis): the round-5 trace
+    showed the moveaxis form made every vertical-pass output materialize
+    transposed ([W, H]), and each canvas dynamic-update-slice then paid
+    a full relayout copy (~0.12 ms per 1080p level)."""
     klen = kernel.shape[0]
     span = (klen + 1) // 2           # center + one-sided taps
-    x2 = jnp.moveaxis(x, axis, -1)
-    n = x2.shape[-1]
+    n = x.shape[axis]
     nout = n - klen + 1
     center = span - 1
-    out = x2[..., center:center + nout] * float(kernel[center])
+
+    def sl(s):
+        return jax.lax.slice_in_dim(x, s, s + nout, axis=axis)
+
+    out = sl(center) * float(kernel[center])
     for off in range(1, span):
-        out = out + (x2[..., center - off:center - off + nout]
-                     + x2[..., center + off:center + off + nout]
+        out = out + (sl(center - off) + sl(center + off)
                      ) * float(kernel[center + off])
-    return jnp.moveaxis(out, -1, axis)
+    return out
 
 
 def _sep_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
@@ -196,15 +203,16 @@ def _conv1d_asym(x: jnp.ndarray, taps: np.ndarray, qmin: int, pad: int,
                  axis: int) -> jnp.ndarray:
     """out[j] = sum_d x_padded[j + pad + qmin + (d - qmin)] * taps[...] —
     valid conv with an asymmetric kernel on an already-padded input.
-    ``pad`` is the padding that was applied on both sides of ``axis``."""
-    x2 = jnp.moveaxis(x, axis, -1)
-    n = x2.shape[-1] - 2 * pad
+    ``pad`` is the padding that was applied on both sides of ``axis``.
+    In-place slicing along ``axis`` (see _conv1d_valid's layout note)."""
+    n = x.shape[axis] - 2 * pad
     out = None
     for i in range(taps.shape[0]):
         off = pad + qmin + i
-        term = x2[..., off:off + n] * float(taps[i])
+        term = jax.lax.slice_in_dim(x, off, off + n, axis=axis) \
+            * float(taps[i])
         out = term if out is None else out + term
-    return jnp.moveaxis(out, -1, axis)
+    return out
 
 
 def _upsample2_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:

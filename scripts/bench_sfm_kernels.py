@@ -27,6 +27,20 @@ def main():
 
     results = []
 
+    # same-session matmul peak: every MFU below is quoted against THIS
+    # allocation's measured ceiling (it varies per round — CLAUDE.md)
+    peak_tf = None
+    try:
+        from bench import measure_matmul_peak_tflops
+        peak_tf = measure_matmul_peak_tflops()
+        results.append({"metric": "matmul_peak_bf16",
+                        "value": round(peak_tf, 1), "unit": "TFLOP/s",
+                        "note": "chained 4096^3 bf16 matmuls, "
+                                "in-session"})
+    except Exception as e:  # noqa: BLE001
+        results.append({"metric": "matmul_peak_bf16", "value": None,
+                        "error": repr(e)[:120]})
+
     # --- matching: L=R=16384 descriptors (an SfM-scale image pair) ----
     L = R = 16384
     key = jax.random.PRNGKey(0)
@@ -46,6 +60,8 @@ def main():
     results.append({
         "metric": "match_16k_x_16k", "value": round(dt * 1000, 2),
         "unit": "ms", "tflops": round(flops / dt / 1e12, 2),
+        "mfu": (round(flops / dt / 1e12 / peak_tf, 3)
+                if peak_tf else None),
         "pairs_per_s": round(1.0 / dt, 1)})
 
     # --- pruned matching: 16-d PCA sketch prefilter + exact shortlist
@@ -137,6 +153,8 @@ def main():
         "value": round(dtd * 1000, 2), "unit": "ms",
         "obs_per_s": round(nobs / dtd / 1e6, 2),
         "schur_matmul_gflop": round(mm_flops / 1e9, 1),
+        "schur_mfu": (round(mm_flops / dtd / 1e12 / peak_tf, 3)
+                      if peak_tf else None),
         "speedup_vs_cg": round(dt / dtd, 2),
         "note": "explicit dense reduced system on the MXU + direct "
                 "solve (exact step, no CG tolerance)"})
