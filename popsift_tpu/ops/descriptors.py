@@ -67,6 +67,69 @@ def make_descriptor_jobs(ext: OctaveExtrema, oris: OctaveOrientations,
         ang=oris.ori[kp, slot], kp_index=kp, valid=valid, count=n)
 
 
+def make_descriptor_jobs_segmented(ext_x, ext_y, ext_sigma, ext_level,
+                                   ori, ori_valid, segments,
+                                   level_offsets=None):
+    """One batched job build for MANY (octave[, frame]) segments of the
+    pipeline's concatenated keypoint arrays.
+
+    Per-octave :func:`make_descriptor_jobs` calls cost one lane sort +
+    ~6 gathers each — x9 octaves (x F frames when batched) they were a
+    leading family in the round-5 small-op trace tail. This builds all
+    segments' front-packed job lists with ONE padded-stack sort and ONE
+    gather per field (the reference's analog is a single global
+    prefix-sum over the flat orientation list, s_orientation.cu:274-299).
+
+    ``segments``: static ``((start, K, jcap), ...)`` — each segment
+    compacts rows ``[start, start+K)`` of the [N]-shaped keypoint arrays
+    into ``jcap`` padded job rows. ``level_offsets`` optionally adds a
+    static per-segment offset to the gathered level (the batched path's
+    ``frame*L`` layer addressing). Returns ``(jobs, counts)`` where
+    ``jobs`` concatenates the segments' padded rows (``kp_index`` LOCAL
+    to its segment, ``count`` = total valid) and ``counts`` is i32[S].
+    """
+    O = ORIENTATION_MAX_COUNT
+    maxflat = max(K * O for _, K, _ in segments)
+    rows = []
+    for (s, K, _) in segments:
+        seg = jax.lax.slice_in_dim(ori_valid, s, s + K, axis=0)
+        seg = seg.reshape(-1)
+        if seg.shape[0] < maxflat:
+            seg = jnp.pad(seg, (0, maxflat - seg.shape[0]))
+        rows.append(seg)
+    m = jnp.stack(rows)                                     # [S, maxflat]
+    iota = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    sk = jax.lax.sort(jnp.where(m, iota, jnp.int32(maxflat)), dimension=1)
+    ns = jnp.sum(m, axis=1, dtype=jnp.int32)
+
+    kp_loc, kp_glob, slots, valids, lev_off = [], [], [], [], []
+    for i, (s, K, jcap) in enumerate(segments):
+        idx = sk[i, :jcap]
+        idx = jnp.where(idx >= maxflat, 0, idx)
+        kp = (idx // O).astype(jnp.int32)
+        kp_loc.append(kp)
+        kp_glob.append(kp + s)
+        slots.append((idx % O).astype(jnp.int32))
+        valids.append(jnp.arange(jcap, dtype=jnp.int32)
+                      < jnp.minimum(ns[i], jcap))
+        if level_offsets is not None:
+            lev_off.append(np.full(jcap, level_offsets[i], np.int32))
+    kpl = jnp.concatenate(kp_loc)
+    kpg = jnp.concatenate(kp_glob)
+    slot = jnp.concatenate(slots)
+    valid = jnp.concatenate(valids)
+    lev = ext_level[kpg]
+    if level_offsets is not None:
+        lev = lev + jnp.asarray(np.concatenate(lev_off))
+    counts = jnp.minimum(ns, jnp.asarray([jc for _, _, jc in segments],
+                                         jnp.int32))
+    jobs = DescriptorJobs(
+        x=ext_x[kpg], y=ext_y[kpg], sigma=ext_sigma[kpg], level=lev,
+        ang=ori[kpg, slot], kp_index=kpl, valid=valid,
+        count=jnp.sum(counts))
+    return jobs, counts
+
+
 # --- static tables (sift_constants.cu:34-47) -------------------------------
 
 def _grid_tables():
@@ -482,7 +545,10 @@ def compute_descriptors(blur: jnp.ndarray | None, jobs: DescriptorJobs,
             for s_hi, r in reversed(cand):
                 if rows_for(r) + 16 <= rows_for(buckets[0][1]):
                     buckets.insert(0, (s_hi, r))
-            if len(buckets) > 1:
+            # small octaves: the split's fixed cost (per-bucket sort +
+            # regather + an extra kernel launch) exceeds the VPU win —
+            # round-5 glue audit; only job lists >= 1024 rows bucket
+            if len(buckets) > 1 and jobs.x.shape[0] >= 1024:
                 return descriptor_loop_pallas_multibucket(
                     padded, jobs, buckets, H, W)
             return descriptor_loop_pallas_dma(padded, jobs, radius, H, W)

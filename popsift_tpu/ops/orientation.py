@@ -158,7 +158,10 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
         # small-window kernel instance (same scheme as descriptors)
         sigma_split = cfg.sigma * 2.0 ** (2.5 / cfg.levels)
         radius_small = int(round(3.0 * ORI_WINFACTOR * sigma_split))
-        if R > radius_small + 6:
+        # small octaves: the bucket split's fixed cost (sort + regather
+        # + a second kernel launch) exceeds the window-size win —
+        # round-5 glue audit; only candidate lists >= 1024 rows bucket
+        if R > radius_small + 6 and ext.x.shape[0] >= 1024:
             return orientation_hist_pallas_bucketed(
                 img2, ext, R, sigma_split, radius_small, H, W)
         return orientation_hist_pallas(img2, ext, R, H, W)

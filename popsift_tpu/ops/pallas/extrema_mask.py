@@ -6,8 +6,10 @@ as dynamic-slices of the padded DoG — each is a separate HBM read
 stream (~2.6 GB/frame, ~9 ms). This stencil reads each DoG row tile
 once into VMEM and evaluates all comparisons there.
 
-Output is the f32 0/1 mask (bool layouts are awkward across the Mosaic
-ABI); callers threshold at 0.5.
+Output is an int8 0/1 mask (bool layouts are awkward across the Mosaic
+boundary; int8 quarters the kernel's store traffic vs f32 — the o0 mask
+write was output-bandwidth-bound at ~100 MB/frame, round-5 trace)
+ABI); callers threshold at > 0.
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def _mask_kernel(dog_hbm, out_ref, scratch, sems, *, D, Z, W, Wo, thr1):
                             inp8min[z, :TH, :Wo])
         gt = first & (c > max26)
         lt = first & (c < min26)
-        out_ref[z - 1] = (gt | lt).astype(jnp.float32)
+        out_ref[z - 1] = (gt | lt).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("Z", "Wo", "thr1",
@@ -108,7 +110,7 @@ def _mask_call(dogp, Z, Wo, thr1, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((Z, TH, Wo), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Z, Ho, Wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Z, Ho, Wo), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((2, D, TH + 8, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -139,7 +141,7 @@ def candidate_mask_pallas(dog: jnp.ndarray, thr1: float,
     dogp = jnp.pad(dog, ((0, 0), (1, Ho - H + 7), (1, Wp - W - 1)),
                    mode="edge")
     out = _mask_call(dogp, Z, Wo, float(thr1), interpret=interpret)
-    return (out[:, :H, :W] > 0.5)
+    return (out[:, :H, :W] > 0)
 
 
 def mask_pallas_available() -> bool:
@@ -231,7 +233,7 @@ def _mask_canvas_kernel(dog_hbm, out_ref, scratch, sems, *, D, Z, H, W,
             inp8min[z, ro:ro + TH, co:co + Wo])
         gt = first & (c > max26)
         lt = first & (c < min26)
-        out_ref[z - 1] = ((gt | lt) & interior).astype(jnp.float32)
+        out_ref[z - 1] = ((gt | lt) & interior).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("Z", "H", "W", "Wo", "thr1",
@@ -249,7 +251,7 @@ def _mask_canvas_call(canvas, Z, H, W, Wo, thr1, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((Z, TH, Wo), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Z, Ho, Wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Z, Ho, Wo), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((2, D, TH + 16, Wd), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -274,7 +276,7 @@ def candidate_mask_canvas_pallas(canvas: jnp.ndarray, H: int, W: int,
     Wo = _round_up(W, 128)
     out = _mask_canvas_call(canvas, Z, H, W, Wo, float(thr1),
                             interpret=interpret)
-    return (out[:, :H, :W] > 0.5)
+    return (out[:, :H, :W] > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +350,7 @@ def _mask_canvas_kernel_b(dog_hbm, out_ref, scratch, sems, *, D, Z, H, W,
             inp8min[z, ro:ro + TH, co:co + Wo])
         gt = first & (c > max26)
         lt = first & (c < min26)
-        out_ref[0, z - 1] = ((gt | lt) & interior).astype(jnp.float32)
+        out_ref[0, z - 1] = ((gt | lt) & interior).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("F", "Z", "H", "W", "Wo",
@@ -367,7 +369,7 @@ def _mask_canvas_call_b(canvas, F, Z, H, W, Wo, thr1, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, Z, TH, Wo), lambda f, i: (f, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, Z, Ho, Wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, Z, Ho, Wo), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((2, D, TH + 16, Wd), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -389,4 +391,4 @@ def candidate_mask_canvas_batched(canvas: jnp.ndarray, F: int, H: int,
     Wo = _round_up(W, 128)
     out = _mask_canvas_call_b(canvas, F, Z, H, W, Wo, float(thr1),
                               interpret=interpret)
-    return (out[:, :, :H, :W] > 0.5)
+    return (out[:, :, :H, :W] > 0)

@@ -405,12 +405,20 @@ def refine_windows_pallas_batched(canvas, zbase, y_loc, x_loc, z0,
 
 
 def refine_pallas_available() -> bool:
-    """True when the fused collect+refine kernel is the production
-    path: TPU backend, unless disabled via POPSIFT_TPU_FUSED_REFINE=0
-    (the A/B switch used by bench/stage tooling; BASELINE.md round-4/5
-    record the measured trade against the XLA patch-refine path)."""
+    """True when the fused collect+refine kernel should be used.
+
+    OFF by default since round 5: two same-session A/Bs (round-4
+    BASELINE.md 71.3 vs 71.8 fps; round-5 scripts/ab_refine.py
+    14.0/14.61 vs 14.13/14.10 ms/frame interleaved reps) measured the
+    kernel throughput-neutral against the XLA patch-refine path, and a
+    neutral kernel is pure complexity on the production path. It
+    remains the lower-HBM-traffic option (no 4 KB lane-padded patch
+    per candidate, ~39 MB/frame less at 1080p saturation) — opt in
+    with POPSIFT_TPU_FUSED_REFINE=1 for traffic-constrained
+    deployments. Reference anchor: in-register refinement,
+    s_extrema.cu:359-460."""
     import os
-    if os.environ.get("POPSIFT_TPU_FUSED_REFINE", "1") == "0":
+    if os.environ.get("POPSIFT_TPU_FUSED_REFINE", "0") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -526,6 +526,101 @@ def dog_canvas_dims(H: int, W: int) -> tuple:
     return Hd, Wd
 
 
+def build_pyramid_canvases(img_u8: jnp.ndarray, plan: PyramidPlan,
+                           into: tuple | None = None,
+                           gbase: int = 0, dbase: int = 0):
+    """Build the halo-padded gauss/DoG canvases with the canvas as the
+    ONLY per-level storage: each blur reads its predecessor as a canvas
+    slice and its output's sole consumer is the in-place canvas update,
+    so no standalone per-level (or per-DoG) array ever materializes.
+
+    The assemble_* path writes every o0 level twice (a standalone
+    f32[2160,3840] the next blur/DoG read, plus the canvas interior) —
+    ~33 MB/level of pure duplicate HBM writes on a front the round-5
+    trace shows is bandwidth-bound (~140 GB/s effective on the
+    fractional slice). Reading layer l-1 while updating layer l of the
+    same buffer is disjoint, which XLA's in-place DUS fusion handles.
+
+    ``into=(gcs, dcs)`` updates existing per-octave canvas lists in
+    place (the frame-batched path's shared [F*L] canvases), writing
+    gauss layers at ``gbase + l`` and DoG layers at ``dbase + l``.
+
+    Strategy branches mirror :func:`build_pyramid_octaves`
+    (s_pyramid_build.cu:460-596, s_pyramid_fixed.cu:202-288);
+    bit-identical values — the canvas interior holds the same floats
+    the standalone levels would.
+    """
+    cfg = plan.config
+    total = cfg.total_levels
+    direct = cfg.scaling_mode == "direct"
+    relative_all = cfg.gauss_mode == "vlfeat-relative-all"
+    fixed = cfg.gauss_mode in ("fixed9", "fixed15")
+
+    def downscale(prev, oh, ow):
+        if cfg.downscale_mode == "interpolate":
+            return _decimate2_interpolate(prev, oh, ow)
+        return _decimate2(prev)[:oh, :ow]
+
+    if into is None:
+        gcs = [jnp.zeros((total,) + gauss_canvas_dims(*d), jnp.float32)
+               for d in plan.dims]
+        dcs = [jnp.zeros((total - 1,) + dog_canvas_dims(*d), jnp.float32)
+               for d in plan.dims]
+    else:
+        gcs, dcs = into
+
+    prev_ds_level = None
+    for octv, (oh, ow) in enumerate(plan.dims):
+
+        def rd(l):
+            return jax.lax.slice(gcs[octv], (gbase + l, 0, 0),
+                                 (gbase + l + 1, oh, ow))[0]
+
+        def put_g(l, arr):
+            gcs[octv] = jax.lax.dynamic_update_slice(
+                gcs[octv], arr[None], (gbase + l, 0, 0))
+
+        if octv == 0 and fixed:
+            # every level straight from the input (abs_o0 filters)
+            for l in range(total):
+                put_g(l, _octave0_level0(img_u8, plan,
+                                         kx=plan.abs0_kernels[l],
+                                         ky=plan.abs0_kernels[l]))
+        else:
+            if octv == 0:
+                lvl0 = _octave0_level0(img_u8, plan)
+            elif direct:
+                lvl0 = _octave_lvl0_from_input(img_u8, plan, octv)
+            else:
+                lvl0 = downscale(prev_ds_level, oh, ow)
+            put_g(0, lvl0)
+            for lvl in range(1, total):
+                if fixed or relative_all:
+                    cur = _sep_blur(rd(0), plan.absN_kernels[lvl])
+                else:
+                    cur = _sep_blur(rd(lvl - 1), plan.inc_kernels[lvl])
+                put_g(lvl, cur)
+        for lvl in range(total - 1):
+            dog = rd(lvl + 1) - rd(lvl)
+            dcs[octv] = jax.lax.dynamic_update_slice(
+                dcs[octv], dog[None], (dbase + lvl, DOG_OY, DOG_OX))
+        prev_ds_level = rd(total - 3)
+    return gcs, dcs
+
+
+def canvas_direct_enabled() -> bool:
+    """OFF by default: the round-5 same-session A/B
+    (scripts/ab_canvas.py, interleaved reps) measured the canvas-only
+    front at 14.27/14.27 ms/frame vs 14.13/14.13 for the assemble path
+    at 1080p — XLA's multi-output fusion already writes levels into
+    the canvas in place, and the canvas-slice reads fuse worse than
+    standalone-array reads. The builder stays as the measured
+    alternative (and the parity tests keep it honest); opt in with
+    POPSIFT_TPU_CANVAS_DIRECT=1."""
+    import os
+    return os.environ.get("POPSIFT_TPU_CANVAS_DIRECT", "0") == "1"
+
+
 def assemble_gauss_canvas(levels, H: int, W: int) -> jnp.ndarray:
     Hg, Wg = gauss_canvas_dims(H, W)
     canvas = jnp.zeros((len(levels), Hg, Wg), jnp.float32)

@@ -166,18 +166,25 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     if use_canvas:
         from .ops.pyramid import (assemble_dog_canvas,
                                   assemble_gauss_canvas,
-                                  build_pyramid_octaves)
-        octs = build_pyramid_octaves(img_u8, plan.pyramid)
-        gaussc = [assemble_gauss_canvas(lv, *dims[o])
-                  for o, (lv, _) in enumerate(octs)]
-        dogc = [assemble_dog_canvas(dg, *dims[o])
-                for o, (_, dg) in enumerate(octs)]
-        if _stage == "front":
-            return gaussc, dogc
+                                  build_pyramid_canvases,
+                                  build_pyramid_octaves,
+                                  canvas_direct_enabled)
         # non-loop descriptor variants read the dense stack in XLA
         need_stack = cfg.desc_mode != "loop"
-        blurs = [jnp.stack(lv) if need_stack else None
-                 for lv, _ in octs]
+        if not need_stack and canvas_direct_enabled():
+            # canvas-only storage: no standalone per-level arrays
+            gaussc, dogc = build_pyramid_canvases(img_u8, plan.pyramid)
+            blurs = [None] * len(dims)
+        else:
+            octs = build_pyramid_octaves(img_u8, plan.pyramid)
+            gaussc = [assemble_gauss_canvas(lv, *dims[o])
+                      for o, (lv, _) in enumerate(octs)]
+            dogc = [assemble_dog_canvas(dg, *dims[o])
+                    for o, (_, dg) in enumerate(octs)]
+            blurs = [jnp.stack(lv) if need_stack else None
+                     for lv, _ in octs]
+        if _stage == "front":
+            return gaussc, dogc
         padded = gaussc
         from .ops.pallas.refine import refine_pallas_available
         fused_refine = refine_pallas_available()
@@ -275,20 +282,26 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     if _stage == "orient":
         return oris
 
-    # phase 3b: per-octave descriptor jobs + window-reading kernels;
-    # normalization and masking batched at the end
+    # phase 3b: ONE segmented job build for all octaves (one sort + one
+    # gather per field instead of 9 sorts + ~54 gathers), then the
+    # per-octave window-reading kernels; normalization and masking
+    # batched at the end
+    from .ops.descriptors import DescriptorJobs, \
+        make_descriptor_jobs_segmented
+    segs = tuple((int(offs[o]), caps[o], plan.job_caps[o])
+                 for o in range(len(caps)))
+    jobs_all, counts = make_descriptor_jobs_segmented(
+        g.x, g.y, g.sigma, g.level, oris.ori, oris.ori_valid, segs)
+    jobs_off = np.concatenate([[0], np.cumsum(plan.job_caps)]).astype(int)
+
     raw_descs, job_kps, job_valids = [], [], []
     for octv, blur in enumerate(blurs):
-        ext_o = g._replace(
-            x=oct_slice(g.x, octv), y=oct_slice(g.y, octv),
-            s=oct_slice(g.s, octv), level=oct_slice(g.level, octv),
-            sigma=oct_slice(g.sigma, octv), cell=oct_slice(g.cell, octv),
-            valid=oct_slice(gvalid, octv))
-        oris_o = OctaveOrientations(
-            ori=oct_slice(oris.ori, octv),
-            ori_valid=oct_slice(oris.ori_valid, octv),
-            num_ori=oct_slice(oris.num_ori, octv))
-        jobs = make_descriptor_jobs(ext_o, oris_o, plan.job_caps[octv])
+        jsl = slice(int(jobs_off[octv]), int(jobs_off[octv + 1]))
+        jobs = DescriptorJobs(
+            x=jobs_all.x[jsl], y=jobs_all.y[jsl],
+            sigma=jobs_all.sigma[jsl], level=jobs_all.level[jsl],
+            ang=jobs_all.ang[jsl], kp_index=jobs_all.kp_index[jsl],
+            valid=jobs_all.valid[jsl], count=counts[octv])
         raw_descs.append(compute_descriptors(blur, jobs, cfg,
                                              chunk=desc_chunk,
                                              padded=padded[octv],
@@ -390,21 +403,31 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
         # same dynamic-update-slice writes the single-frame path pays),
         # so no vmapped conv/interleave/transpose ever exists in the
         # program — only the layer index carries the frame.
-        from .ops.pyramid import dog_canvas_dims, gauss_canvas_dims, \
-            DOG_OY, DOG_OX
+        from .ops.pyramid import (DOG_OX, DOG_OY, build_pyramid_canvases,
+                                  canvas_direct_enabled, dog_canvas_dims,
+                                  gauss_canvas_dims)
         gc2 = [jnp.zeros((F * L,) + gauss_canvas_dims(*dims[o]),
                          jnp.float32) for o in range(len(dims))]
         dc2 = [jnp.zeros((F * (L - 1),) + dog_canvas_dims(*dims[o]),
                          jnp.float32) for o in range(len(dims))]
-        for f in range(F):
-            octs = build_pyramid_octaves(imgs_u8[f], plan.pyramid)
-            for o, (lv, dg) in enumerate(octs):
-                for l, lvl in enumerate(lv):
-                    gc2[o] = jax.lax.dynamic_update_slice(
-                        gc2[o], lvl[None], (f * L + l, 0, 0))
-                for l, d in enumerate(dg):
-                    dc2[o] = jax.lax.dynamic_update_slice(
-                        dc2[o], d[None], (f * (L - 1) + l, DOG_OY, DOG_OX))
+        if canvas_direct_enabled():
+            # canvas-only storage (see build_pyramid_canvases): each
+            # frame's layers land at gbase=f*L / dbase=f*(L-1)
+            for f in range(F):
+                build_pyramid_canvases(imgs_u8[f], plan.pyramid,
+                                       into=(gc2, dc2), gbase=f * L,
+                                       dbase=f * (L - 1))
+        else:
+            for f in range(F):
+                octs = build_pyramid_octaves(imgs_u8[f], plan.pyramid)
+                for o, (lv, dg) in enumerate(octs):
+                    for l, lvl in enumerate(lv):
+                        gc2[o] = jax.lax.dynamic_update_slice(
+                            gc2[o], lvl[None], (f * L + l, 0, 0))
+                    for l, d in enumerate(dg):
+                        dc2[o] = jax.lax.dynamic_update_slice(
+                            dc2[o], d[None],
+                            (f * (L - 1) + l, DOG_OY, DOG_OX))
     else:
         def front(im):
             octs = build_pyramid_octaves(im, plan.pyramid)
@@ -525,44 +548,38 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
     if _stage == "orient":
         return oris
 
-    # phase 3b: descriptor jobs + kernels per octave, all frames at once
-    raw_descs, job_kps, job_valids = [], [], []
+    # phase 3b: ONE segmented job build over all (octave, frame)
+    # segments (one sort + one gather per field instead of per-octave
+    # vmapped builds), then the per-octave kernels on all frames at once
+    from .ops.descriptors import DescriptorJobs, \
+        make_descriptor_jobs_segmented
     jobs_off = np.concatenate([[0], np.cumsum(plan.job_caps)]).astype(int)
     Jtot = int(jobs_off[-1])
+    segs, lev_offs = [], []
     for octv in range(n_oct):
-        cap_o = caps[octv]
-        jcap = plan.job_caps[octv]
-        ext_o = ext_for(octv, gvalid)
+        for f in range(F):
+            segs.append((f * Ktot + int(offs[octv]), caps[octv],
+                         plan.job_caps[octv]))
+            lev_offs.append(f * L)
+    jobs_all, seg_counts = make_descriptor_jobs_segmented(
+        g.x, g.y, g.sigma, g.level, oris.ori, oris.ori_valid,
+        tuple(segs), level_offsets=tuple(lev_offs))
 
-        # vmap make_descriptor_jobs over frames
-        def resh(a):
-            return a.reshape((F, cap_o) + a.shape[1:])
-        ext_Fv = g.__class__(
-            x=resh(ext_o.x), y=resh(ext_o.y), s=resh(ext_o.s),
-            level=resh(ext_o.level), sigma=resh(ext_o.sigma),
-            cell=resh(ext_o.cell), valid=resh(ext_o.valid),
-            count=jnp.zeros(F, jnp.int32),
-            n_candidates=jnp.zeros(F, jnp.int32),
-            n_dropped=jnp.zeros(F, jnp.int32))
-        oris_F = OctaveOrientations(
-            ori=oris.ori.reshape(F, Ktot, -1)[:, offs[octv]:offs[octv + 1]],
-            ori_valid=oris.ori_valid.reshape(
-                F, Ktot, -1)[:, offs[octv]:offs[octv + 1]],
-            num_ori=oris.num_ori.reshape(F, Ktot)[:,
-                                                  offs[octv]:offs[octv + 1]])
-        jobs_F = jax.vmap(
-            lambda e, o: make_descriptor_jobs(e, o, jcap))(ext_Fv, oris_F)
-        jobs_flat = jax.tree_util.tree_map(
-            lambda a: a.reshape((-1,) + a.shape[2:]) if a.ndim > 1
-            else a, jobs_F)
-        jobs_flat = jobs_flat._replace(
-            count=jnp.int32(F * jcap),
-            valid=jobs_F.valid.reshape(-1))
+    raw_descs, job_kps, job_valids = [], [], []
+    for octv in range(n_oct):
+        jcap = plan.job_caps[octv]
+        base = int(jobs_off[octv]) * F
+        jsl = slice(base, base + F * jcap)
+        jobs_flat = DescriptorJobs(
+            x=jobs_all.x[jsl], y=jobs_all.y[jsl],
+            sigma=jobs_all.sigma[jsl], level=jobs_all.level[jsl],
+            ang=jobs_all.ang[jsl], kp_index=jobs_all.kp_index[jsl],
+            valid=jobs_all.valid[jsl], count=jnp.int32(F * jcap))
         raw = compute_descriptors(None, jobs_flat, cfg, chunk=desc_chunk,
                                   padded=gc2[octv], dims=dims[octv])
         raw_descs.append(raw.reshape(F, jcap, 128))
-        job_kps.append(jobs_F.kp_index + offs[octv])
-        job_valids.append(jobs_F.valid)
+        job_kps.append(jobs_flat.kp_index.reshape(F, jcap) + offs[octv])
+        job_valids.append(jobs_flat.valid.reshape(F, jcap))
 
     desc_valid = jnp.concatenate(job_valids, axis=1)      # [F, Jtot]
     desc = normalize_descriptors(

@@ -134,3 +134,70 @@ def test_gauss_canvas_geometry():
         np.asarray(dgc[2, DOG_OY:DOG_OY + H, DOG_OX:DOG_OX + W]),
         np.asarray(lv[2]))
     assert float(jnp.sum(dgc[:, :DOG_OY, :])) == 0.0
+
+
+@pytest.mark.parametrize("gauss_mode,scaling",
+                         [("vlfeat", "indirect"),
+                          ("vlfeat-relative-all", "indirect"),
+                          ("fixed9", "indirect"),
+                          ("vlfeat", "direct")])
+def test_canvas_direct_build_parity(gauss_mode, scaling):
+    """build_pyramid_canvases (canvas-only storage, round-5 bandwidth
+    fix) must reproduce the assemble_* canvases bit for bit across the
+    strategy branches it mirrors (s_pyramid_build.cu:460-596)."""
+    from popsift_tpu.ops.pyramid import (build_pyramid_canvases,
+                                         build_pyramid_octaves,
+                                         build_pyramid_plan)
+
+    rng = np.random.default_rng(7)
+    h, w = 61, 83
+    img = rng.integers(0, 255, size=(h, w), dtype=np.uint8)
+    cfg = SiftConfig(gauss_mode=gauss_mode, scaling_mode=scaling,
+                     octaves=3)
+    if gauss_mode == "fixed9":
+        cfg = cfg.replace(levels=3)
+    plan = build_pyramid_plan(cfg, h, w)
+
+    octs = build_pyramid_octaves(jnp.asarray(img), plan)
+    ref_g = [assemble_gauss_canvas(lv, *plan.dims[o])
+             for o, (lv, _) in enumerate(octs)]
+    ref_d = [assemble_dog_canvas(dg, *plan.dims[o])
+             for o, (_, dg) in enumerate(octs)]
+    got_g, got_d = build_pyramid_canvases(jnp.asarray(img), plan)
+    for o in range(len(plan.dims)):
+        assert np.array_equal(np.asarray(got_g[o]), np.asarray(ref_g[o])), o
+        assert np.array_equal(np.asarray(got_d[o]), np.asarray(ref_d[o])), o
+
+
+def test_canvas_direct_into_batch_layout():
+    """into=(gc2, dc2) with gbase/dbase must land each frame's layers
+    exactly where the unrolled batched front puts them."""
+    from popsift_tpu.ops.pyramid import (build_pyramid_canvases,
+                                         build_pyramid_plan,
+                                         dog_canvas_dims,
+                                         gauss_canvas_dims)
+
+    rng = np.random.default_rng(8)
+    h, w = 41, 57
+    F = 2
+    imgs = rng.integers(0, 255, size=(F, h, w), dtype=np.uint8)
+    cfg = SiftConfig(octaves=2)
+    plan = build_pyramid_plan(cfg, h, w)
+    L = cfg.total_levels
+
+    gc2 = [jnp.zeros((F * L,) + gauss_canvas_dims(*d), jnp.float32)
+           for d in plan.dims]
+    dc2 = [jnp.zeros((F * (L - 1),) + dog_canvas_dims(*d), jnp.float32)
+           for d in plan.dims]
+    for f in range(F):
+        build_pyramid_canvases(jnp.asarray(imgs[f]), plan,
+                               into=(gc2, dc2), gbase=f * L,
+                               dbase=f * (L - 1))
+    for f in range(F):
+        g1, d1 = build_pyramid_canvases(jnp.asarray(imgs[f]), plan)
+        for o in range(len(plan.dims)):
+            assert np.array_equal(np.asarray(gc2[o][f * L:(f + 1) * L]),
+                                  np.asarray(g1[o])), (f, o)
+            assert np.array_equal(
+                np.asarray(dc2[o][f * (L - 1):(f + 1) * (L - 1)]),
+                np.asarray(d1[o])), (f, o)

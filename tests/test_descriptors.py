@@ -178,3 +178,64 @@ def test_variant_cross_consistency(small_image):
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
     cos = num / den
     assert np.median(cos) > 0.9, np.median(cos)
+
+
+def test_segmented_jobs_match_per_octave():
+    """make_descriptor_jobs_segmented (round-5 one-sort glue batching)
+    must reproduce per-segment make_descriptor_jobs exactly, including
+    front-packing order, validity, counts and level offsets."""
+    import jax.numpy as jnp
+    from popsift_tpu.config import ORIENTATION_MAX_COUNT
+    from popsift_tpu.ops.descriptors import (
+        make_descriptor_jobs, make_descriptor_jobs_segmented)
+    from popsift_tpu.ops.extrema import OctaveExtrema
+    from popsift_tpu.ops.orientation import OctaveOrientations
+
+    rng = np.random.default_rng(21)
+    caps = (16, 48, 8)
+    jcaps = (20, 56, 12)
+    N = sum(caps)
+    O = ORIENTATION_MAX_COUNT
+    x = rng.uniform(0, 100, N).astype(np.float32)
+    y = rng.uniform(0, 100, N).astype(np.float32)
+    sig = rng.uniform(1, 4, N).astype(np.float32)
+    lev = rng.integers(1, 4, N).astype(np.int32)
+    ori = rng.uniform(-3, 3, (N, O)).astype(np.float32)
+    ov = rng.random((N, O)) < 0.35
+
+    offs = np.concatenate([[0], np.cumsum(caps)]).astype(int)
+    segs = tuple((int(offs[i]), caps[i], jcaps[i]) for i in range(3))
+    jobs, counts = make_descriptor_jobs_segmented(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(sig),
+        jnp.asarray(lev), jnp.asarray(ori), jnp.asarray(ov), segs,
+        level_offsets=(0, 6, 12))
+
+    joff = np.concatenate([[0], np.cumsum(jcaps)]).astype(int)
+    for i in range(3):
+        s, K, jc = segs[i]
+        ext = OctaveExtrema(
+            x=jnp.asarray(x[s:s + K]), y=jnp.asarray(y[s:s + K]),
+            s=jnp.asarray(np.zeros(K, np.float32)),
+            level=jnp.asarray(lev[s:s + K]),
+            sigma=jnp.asarray(sig[s:s + K]),
+            cell=jnp.asarray(np.zeros(K, np.int32)),
+            valid=jnp.asarray(np.ones(K, bool)),
+            count=jnp.int32(K), n_candidates=jnp.int32(K),
+            n_dropped=jnp.int32(0))
+        oris = OctaveOrientations(
+            ori=jnp.asarray(ori[s:s + K]),
+            ori_valid=jnp.asarray(ov[s:s + K]),
+            num_ori=jnp.asarray(ov[s:s + K].sum(1).astype(np.int32)))
+        ref = make_descriptor_jobs(ext, oris, jc)
+        sl = slice(int(joff[i]), int(joff[i + 1]))
+        assert np.array_equal(np.asarray(jobs.kp_index[sl]),
+                              np.asarray(ref.kp_index))
+        assert np.array_equal(np.asarray(jobs.valid[sl]),
+                              np.asarray(ref.valid))
+        assert np.array_equal(np.asarray(jobs.x[sl]), np.asarray(ref.x))
+        assert np.array_equal(np.asarray(jobs.ang[sl]),
+                              np.asarray(ref.ang))
+        assert np.array_equal(
+            np.asarray(jobs.level[sl]),
+            np.asarray(ref.level) + [0, 6, 12][i])
+        assert int(counts[i]) == int(ref.count)
