@@ -48,6 +48,15 @@ def build_parser():
                    help="VLAD-retrieval pair shortlist: match only the "
                         "top-M most similar partners per image instead "
                         "of all O(N^2) pairs (sfm/retrieval.py)")
+    p.add_argument("--ba-every", type=int, default=3,
+                   help="global bundle adjustment every N registrations")
+    p.add_argument("--local-ba-window", type=int, default=0, metavar="W",
+                   help="windowed local BA (last W cameras + anchors) "
+                        "after every registration batch — O(N*W) total "
+                        "BA work on long sequences; pair with a larger "
+                        "--ba-every (e.g. 100)")
+    p.add_argument("--register-batch", type=int, default=1,
+                   help="register up to N images per sweep")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--export", default="reconstruction.npz",
                    help="output reconstruction checkpoint")
@@ -153,7 +162,10 @@ def main(argv=None):
               f"{len(sfm.rec.points)} points")
     else:
         sfm = IncrementalSfM(tracks, intr,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir,
+                             ba_every=args.ba_every,
+                             register_batch=args.register_batch,
+                             local_ba_window=args.local_ba_window)
         pair = sfm.initialize()
         print(f"seed pair: {pair}, points: {len(sfm.rec.points)}")
         while (img := sfm.register_next()) is not None:

@@ -121,7 +121,8 @@ class IncrementalSfM:
     def __init__(self, tracks: Tracks, intr, seed: int = 0,
                  min_pnp_points: int = 8, reproj_thresh: float = 2e-4,
                  ba_every: int = 3, checkpoint_dir: str | None = None,
-                 register_batch: int = 1, pnp_chunk: int = 16):
+                 register_batch: int = 1, pnp_chunk: int = 16,
+                 local_ba_window: int = 0):
         self.tracks = tracks
         self.rec = Reconstruction(intr=np.asarray(intr, np.float32))
         self.key = jax.random.PRNGKey(seed)
@@ -131,6 +132,10 @@ class IncrementalSfM:
         self.checkpoint_dir = checkpoint_dir
         self.register_batch = max(1, int(register_batch))
         self.pnp_chunk = max(1, int(pnp_chunk))
+        # > 0: run windowed local BA after every registration batch
+        # between the (now affordable-rare) global BAs — O(N*W) total
+        # BA work on long sequences instead of O(N^2)
+        self.local_ba_window = int(local_ba_window)
         self._since_ba = 0
         self._last_rescue_nreg = -1  # registrations at the last drift rescue
 
@@ -245,10 +250,17 @@ class IncrementalSfM:
         drift a long incremental run accumulates."""
         from .global_sfm import _triangulate_all
 
+        costs = None
         for _ in range(rounds):
-            self.global_ba(iters=ba_iters, huber_delta=huber_delta)
+            costs = self.global_ba(iters=ba_iters, huber_delta=huber_delta)
             n_bad = self.cull_points(max_err_px)
             _triangulate_all(self)
+            if len(self.rec.points) == 0:
+                # every track failed the cull AND re-triangulation — the
+                # model is beyond local repair (seen on badly drifted
+                # long sequences); surface the last BA costs instead of
+                # crashing on an empty BA problem
+                return costs
             if n_bad == 0:
                 break
         return self.global_ba(iters=ba_iters, huber_delta=huber_delta)
@@ -490,6 +502,8 @@ class IncrementalSfM:
         if self._since_ba >= self.ba_every:
             self.global_ba(iters=4)
             self._since_ba = 0
+        elif self.local_ba_window > 0:
+            self.local_ba(window=self.local_ba_window)
         self._checkpoint(f"reg-{last}")
         return last
 
@@ -597,18 +611,31 @@ class IncrementalSfM:
             keep &= (z > 0) & np.isfinite(err) & (err < thr)
         return keep
 
-    def as_ba_problem(self) -> tuple:
+    def as_ba_problem(self, cam_ids=None, track_mask=None,
+                      fixed_mask=None) -> tuple:
         """Pack the current reconstruction into a capacity-padded
         BAProblem (pure NumPy indexing — no Python per-observation
-        loop). Returns (problem, cam_ids, track_ids)."""
-        cam_ids = list(self.rec.registered)
-        track_ids = np.asarray(sorted(self.rec.points), np.int64)
+        loop). Returns (problem, cam_ids, track_ids).
+
+        ``cam_ids``/``track_mask``/``fixed_mask`` restrict the problem
+        to a sub-reconstruction (``local_ba``'s window): only
+        observations of selected cameras on masked tracks enter, and
+        ``fixed_mask[i]`` pins camera ``cam_ids[i]`` (anchor cameras
+        outside the optimization window)."""
+        if cam_ids is None:
+            cam_ids = list(self.rec.registered)
+        if track_mask is None:
+            track_ids = np.asarray(sorted(self.rec.points), np.int64)
+        else:
+            track_ids = np.nonzero(self._pt_known & track_mask)[0]
 
         t = self.tracks
         oc, op, ouv = [], [], []
         for ci, img in enumerate(cam_ids):
             trs = self._img_tracks[img]
             m = self._pt_known[trs]
+            if track_mask is not None:
+                m = m & track_mask[trs]
             sel = trs[m]
             oc.append(np.full(len(sel), ci, np.int32))
             op.append(np.searchsorted(track_ids, sel).astype(np.int32))
@@ -623,8 +650,11 @@ class IncrementalSfM:
         t_all = np.stack([self.rec.cam_t[c] for c in cam_ids])
         cams = np.concatenate([rvec, t_all], axis=1).astype(np.float32)
         pts = self._pts[track_ids].astype(np.float32)
-        fixed = np.zeros(len(cam_ids), bool)
-        fixed[0] = True
+        if fixed_mask is None:
+            fixed = np.zeros(len(cam_ids), bool)
+            fixed[0] = True
+        else:
+            fixed = np.asarray(fixed_mask, bool)
 
         prob = BAProblem(
             cams=jnp.asarray(cams), points=jnp.asarray(pts),
@@ -635,6 +665,55 @@ class IncrementalSfM:
             obs_valid=jnp.ones(len(oc), bool),
             cam_fixed=jnp.asarray(fixed))
         return prob, cam_ids, [int(tr) for tr in track_ids]
+
+    def local_ba(self, window: int = 25, iters: int = 6,
+                 huber_delta: float | None = None):
+        """Windowed bundle adjustment over the most recently registered
+        cameras (COLMAP-style local BA): the last ``window`` cameras and
+        every point they observe are optimized; OTHER registered cameras
+        observing those points join the problem FIXED, anchoring the
+        window's gauge to the rest of the model. Per-registration cost
+        stays O(window + covisible anchors) instead of O(registered) —
+        the difference between O(N·W) and O(N²) total BA work on long
+        sequences. (The reference has no SfM; COLMAP's analog is
+        IncrementalMapper::AdjustLocalBundle.)"""
+        reg = self.rec.registered
+        sel = reg[-window:]
+        if len(sel) < 2:
+            return None
+        sel_set = set(sel)
+        # tracks seen by the window
+        track_mask = np.zeros(len(self._pt_known), bool)
+        for img in sel:
+            trs = self._img_tracks[img]
+            track_mask[trs[self._pt_known[trs]]] = True
+        if not track_mask.any():
+            return None
+        # anchor cameras: registered, outside the window, observing a
+        # masked track (found via the CSR track->observation spans)
+        flat, _ = self._spans_flat(np.nonzero(track_mask)[0])
+        obs_pos = np.unique(self._tr_img_pos[flat])
+        anchors = [self.images[k] for k in obs_pos
+                   if self._reg_mask[k] and self.images[k] not in sel_set]
+        cam_ids = anchors + list(sel)
+        fixed = np.zeros(len(cam_ids), bool)
+        fixed[:len(anchors)] = True
+        if not len(anchors):
+            fixed[0] = True                     # gauge anchor
+        prob, cam_ids, track_ids = self.as_ba_problem(
+            cam_ids=cam_ids, track_mask=track_mask, fixed_mask=fixed)
+        out, costs = bundle_adjust(prob, iters=iters,
+                                   huber_delta=huber_delta)
+        cams = np.asarray(out.cams)
+        pts = np.asarray(out.points)
+        R_all = np.asarray(jax.vmap(exp_so3)(jnp.asarray(cams[:, :3])))
+        for i, c in enumerate(cam_ids):
+            if fixed[i]:
+                continue
+            self.rec.cam_R[c] = R_all[i]
+            self.rec.cam_t[c] = cams[i, 3:]
+        self._pts[np.asarray(track_ids, np.int64)] = pts
+        return costs
 
     def global_ba(self, iters: int = 10, huber_delta: float | None = None,
                   refine_intrinsics: bool = False, intr_mask=None):

@@ -87,7 +87,13 @@ def main():
     n_obs = len(np.asarray(tracks.track_id))
 
     t0 = time.perf_counter()
-    sfm = inc.IncrementalSfM(tracks, INTR, ba_every=50, register_batch=16)
+    # windowed local BA after every batch + rare global BA: O(N*W)
+    # total BA work. The round-5 drift probe showed ba_every=50 with NO
+    # local BA diverges past ~150 registrations on this sequence (ATE
+    # 12+ at 400 cams, 54 at 1000); local_ba_window=25 holds ATE at
+    # 1e-3 extent with a FASTER register loop.
+    sfm = inc.IncrementalSfM(tracks, INTR, ba_every=100,
+                             register_batch=16, local_ba_window=25)
     sfm.initialize()
     t_init = time.perf_counter() - t0
 

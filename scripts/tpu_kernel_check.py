@@ -307,15 +307,27 @@ def main():
     blur, dog = blurs[0], dogs[0]
     oh, ow = pplan.dims[0]
 
-    check_blur(blur, results)
-    check_octave_chain(blur[0], results)
-    check_mask(dog, cfg, results)
-    check_mask_canvas(dog, cfg, results)
-    check_window(dog, results)
-    check_refine(dog, cfg, results)
+    def guarded(name, fn, *a):
+        """One failing (or VMEM-overflowing) kernel must not lose the
+        artifact for the rest — record the error and keep going."""
+        try:
+            fn(*a, results)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"pass": False, "error": repr(e)[:300]}
+
+    guarded("blur_and_dog", check_blur, blur)
+    if args.size[0] * args.size[1] <= 256 * 320:
+        # opt-in retired kernel; its full-octave VMEM windows overflow
+        # at large frames (the known Mosaic blocker that retired it) —
+        # production never runs it, so the 1080p leg skips it
+        guarded("octave_blur_chain", check_octave_chain, blur[0])
+    guarded("extrema_mask", check_mask, dog, cfg)
+    guarded("extrema_mask_canvas", check_mask_canvas, dog, cfg)
+    guarded("window_dma", check_window, dog)
+    guarded("refine_fused", check_refine, dog, cfg)
     ext = detect_extrema(dog, cfg, 512, ow, oh)
-    check_orient_desc(blur, ext, cfg, results)
-    check_full_pipeline(jnp.asarray(img), cfg, results)
+    guarded("orient_desc", check_orient_desc, blur, ext, cfg)
+    guarded("full_pipeline_ab", check_full_pipeline, jnp.asarray(img), cfg)
 
     results["all_pass"] = all(
         v.get("pass", True) for v in results.values()

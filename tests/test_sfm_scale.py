@@ -163,3 +163,35 @@ def test_sequence_reconstruction_200_cams():
     # the pre-vectorization driver took >30 min at this scale)
     assert wall < 900, f"200-cam reconstruction took {wall:.0f}s"
     print(f"200 cams: {n_reg} registered, ATE {rmse:.3f}, {wall:.0f}s")
+
+
+@pytest.mark.slow
+def test_local_ba_windowed_sequence():
+    """local_ba (round-5: COLMAP-style windowed BA between rare global
+    BAs) must hold the trajectory as accurately as frequent global BA
+    on a long forward sequence — the 1000-camera benchmark's O(N*W)
+    scaling path. Drift reproducer: ba_every=50/register_batch=8 with
+    NO local BA loses this sequence (the round-5 drift probe)."""
+    rng = np.random.default_rng(13)
+    n_cams = 80
+    X, cams, kps, vis = make_sequence(rng, n_cams=n_cams, noise=0.2,
+                                      span=0.25 * n_cams + 10,
+                                      vis_pts=240)
+    tracks = tracks_from_vis(kps, vis)
+
+    sfm = IncrementalSfM(tracks, INTR, ba_every=50, register_batch=8,
+                         local_ba_window=12)
+    sfm.initialize()
+    while sfm.register_next() is not None:
+        pass
+    n_reg = len(sfm.rec.registered)
+    assert n_reg >= n_cams - 4, f"registered only {n_reg}/{n_cams}"
+    sfm.global_ba(iters=8)
+
+    reg = sorted(sfm.rec.registered)
+    C_est = np.stack([-(sfm.rec.cam_R[i].T @ sfm.rec.cam_t[i])
+                      for i in reg])
+    C_gt = np.stack([-(cams[i][0].T @ cams[i][1]) for i in reg])
+    rmse = ate_rmse(C_est, C_gt)
+    extent = float(np.linalg.norm(C_gt.max(0) - C_gt.min(0)))
+    assert rmse < 0.01 * extent, f"ATE {rmse} vs extent {extent}"
