@@ -477,7 +477,8 @@ def compute_descriptors(blur: jnp.ndarray | None, jobs: DescriptorJobs,
                         cfg: SiftConfig, chunk: int = 1024,
                         use_pallas: bool | None = None,
                         y_bounds=None, padded=None,
-                        dims: tuple | None = None) -> jnp.ndarray:
+                        dims: tuple | None = None,
+                        seg=None) -> jnp.ndarray:
     """Unnormalized descriptors f32[F, 128].
 
     Variant dispatch (DescMode, sift_conf.h:59-65), each name mapping to
@@ -550,8 +551,9 @@ def compute_descriptors(blur: jnp.ndarray | None, jobs: DescriptorJobs,
             # round-5 glue audit; only job lists >= 1024 rows bucket
             if len(buckets) > 1 and jobs.x.shape[0] >= 1024:
                 return descriptor_loop_pallas_multibucket(
-                    padded, jobs, buckets, H, W)
-            return descriptor_loop_pallas_dma(padded, jobs, radius, H, W)
+                    padded, jobs, buckets, H, W, seg=seg)
+            return descriptor_loop_pallas_dma(padded, jobs, radius, H, W,
+                                              seg=seg)
 
         img = pad_for_patches(blur, 2 * radius + 1)
 

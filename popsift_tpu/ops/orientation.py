@@ -124,7 +124,8 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
                            cfg: SiftConfig,
                            use_pallas: bool | None = None,
                            y_bounds=None, padded=None,
-                           dims: tuple | None = None) -> jnp.ndarray:
+                           dims: tuple | None = None,
+                           seg=None) -> jnp.ndarray:
     """Raw 36-bin gradient histograms f32[K, 36] for one octave's
     (padded) extrema — the only orientation phase that reads the octave
     image; the peak-finding tail (:func:`orientations_from_histograms`)
@@ -163,8 +164,8 @@ def orientation_histograms(blur: jnp.ndarray, ext: OctaveExtrema,
         # round-5 glue audit; only candidate lists >= 1024 rows bucket
         if R > radius_small + 6 and ext.x.shape[0] >= 1024:
             return orientation_hist_pallas_bucketed(
-                img2, ext, R, sigma_split, radius_small, H, W)
-        return orientation_hist_pallas(img2, ext, R, H, W)
+                img2, ext, R, sigma_split, radius_small, H, W, seg=seg)
+        return orientation_hist_pallas(img2, ext, R, H, W, seg=seg)
     return _orientation_hist_xla(blur, ext, cfg, R, y_bounds=y_bounds)
 
 

@@ -63,16 +63,18 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
-def _desc_kernel(par_ref, patch_ref, out_ref, *, P, PL, H, W):
-    """par_ref f32[G, 8]: (x, y, sigma, ang, y0, x0, valid, unused).
-    patch_ref f32[G, P, PL] (PL lane-aligned); out_ref
-    f32[G, 8, 16] laid out as (b, (ty, tx))."""
-    _desc_math(patch_ref[:], par_ref[:], out_ref, P=P, PL=PL, H=H, W=W)
+def _desc_kernel(par_ref, patch_ref, out_ref, *, P, PL):
+    """par_ref f32[G, 16]: (x, y, sigma, ang, y0, x0, valid, unused,
+    ylo, yhi, xhi, 0...) — bounds are PER JOB so one launch can serve
+    many octave segments stacked in a canvas atlas. patch_ref
+    f32[G, P, PL] (PL lane-aligned); out_ref f32[G, 8, 16] laid out as
+    (b, (ty, tx))."""
+    _desc_math(patch_ref[:], par_ref[:], out_ref, P=P, PL=PL)
 
 
-def _desc_math(patch, par, out_ref, *, P, PL, H, W):
+def _desc_math(patch, par, out_ref, *, P, PL):
     """Shared per-pixel pipeline + histogram contraction.
-    patch f32[G, P, PL]; par f32[G, 8]; writes out_ref [G, 8, 16]."""
+    patch f32[G, P, PL]; par f32[G, 16]; writes out_ref [G, 8, 16]."""
     G = _G
 
     # per-pixel image coordinates (2-D iota only; Mosaic rejects 3-D)
@@ -111,7 +113,10 @@ def _desc_math(patch, par, out_ref, *, P, PL, H, W):
     nxg = crsbp * fdx + srsbp * fdy            # global rotated coords
     nyg = crsbp * fdy - srsbp * fdx
 
-    inb = (px >= 1.0) & (px <= W - 2.0) & (py >= 1.0) & (py <= H - 2.0)
+    ylo = par[:, 8][:, None, None]
+    yhi = par[:, 9][:, None, None]
+    xhi = par[:, 10][:, None, None]
+    inb = (px >= 1.0) & (px <= xhi) & (py >= ylo) & (py <= yhi)
 
     two_pi = np.float32(2.0 * math.pi)
     tha = th - ang
@@ -161,16 +166,16 @@ def _desc_math(patch, par, out_ref, *, P, PL, H, W):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("P", "PL", "H", "W", "interpret"))
-def _desc_call(params, patches, P, PL, H, W, interpret=False):
+                   static_argnames=("P", "PL", "interpret"))
+def _desc_call(params, patches, P, PL, interpret=False):
     F = patches.shape[0]
     grid = (F // _G,)
-    kernel = functools.partial(_desc_kernel, P=P, PL=PL, H=H, W=W)
+    kernel = functools.partial(_desc_kernel, P=P, PL=PL)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_G, 8), lambda i: (i, 0),
+            pl.BlockSpec((_G, 16), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_G, P, PL), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -195,15 +200,18 @@ def descriptor_loop_pallas(patches, y0, x0, jobs, H, W,
     """
     F, P, PL = patches.shape
     pad = (-F) % _G
+    ones = jnp.ones_like(jobs.x)
+    zeros = jnp.zeros_like(jobs.x)
     params = jnp.stack([
         jobs.x, jobs.y, jobs.sigma, jobs.ang,
         y0.astype(jnp.float32), x0.astype(jnp.float32),
-        jobs.valid.astype(jnp.float32),
-        jnp.zeros_like(jobs.x)], axis=1)           # [F, 8]
+        jobs.valid.astype(jnp.float32), zeros,
+        ones, ones * (H - 2.0), ones * (W - 2.0),
+        zeros, zeros, zeros, zeros, zeros], axis=1)   # [F, 16]
     if pad:
         params = jnp.pad(params, ((0, pad), (0, 0)))
         patches = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
-    out = _desc_call(params, patches, P, PL, H, W, interpret=interpret)
+    out = _desc_call(params, patches, P, PL, interpret=interpret)
     # [b, (ty, tx)] -> (ty, tx, b) flat 128
     out = out.reshape(-1, DESC_BINS, 4, 4).transpose(0, 2, 3, 1)
     return out.reshape(-1, 128)[:F]
@@ -214,7 +222,7 @@ _WC = 256   # DMA window cols (128 patch cols + 128-lane alignment slack)
 
 
 def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
-                     blur_hbm, out_ref, scratch, sems, *, P, PL, H, W,
+                     blur_hbm, out_ref, scratch, sems, *, P, PL,
                      WR=None):
     """DMA variant: patches are pulled straight from the blur stack.
 
@@ -267,7 +275,7 @@ def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
                            _WC - rx, 1)
             patches.append(w[:P, :PL])
         patch = jnp.stack(patches)              # [G, P, PL]
-        _desc_math(patch, par_ref[:], out_ref, P=P, PL=PL, H=H, W=W)
+        _desc_math(patch, par_ref[:], out_ref, P=P, PL=PL)
 
     @pl.when(jnp.logical_not(active(i)))
     def _():
@@ -275,18 +283,18 @@ def _desc_dma_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("P", "PL", "H", "W", "WR", "interpret"))
-def _desc_dma_call(nv, lv, ya, ca, pk, params, blur, P, PL, H, W,
+                   static_argnames=("P", "PL", "WR", "interpret"))
+def _desc_dma_call(nv, lv, ya, ca, pk, params, blur, P, PL,
                    WR=_WR, interpret=False):
     F = params.shape[0]
     grid = (F // _G,)
-    kernel = functools.partial(_desc_dma_kernel, P=P, PL=PL, H=H, W=W,
+    kernel = functools.partial(_desc_dma_kernel, P=P, PL=PL,
                                WR=WR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_G, 8), lambda i, *s: (i, 0),
+            pl.BlockSpec((_G, 16), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -307,7 +315,7 @@ def _desc_dma_call(nv, lv, ya, ca, pk, params, blur, P, PL, H, W,
     )(nv, lv, ya, ca, pk, params, blur)
 
 
-def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
+def descriptor_loop_pallas_dma(blur, jobs, radius, H, W, seg=None,
                                interpret: bool = False):
     """Descriptors straight from the octave blur stack: per-job windows
     are DMA'd inside the kernel (double-buffered), eliminating the
@@ -318,6 +326,14 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
     (sized to ``radius``, max 104) x PL=128 cols around each keypoint
     (radius <= 51). Per-job VPU cost scales with P, which is why the
     caller buckets jobs by sigma (descriptor_loop_pallas_bucketed).
+
+    ``seg=(yoff, hcan, wcan, him, wim)`` (per-row arrays) runs the
+    octave-atlas form: ``blur`` is the stacked atlas and each row's
+    octave segment starts at atlas row ``yoff`` (a multiple of 8) with
+    canvas dims (hcan, wcan) and image dims (him, wim). Window-origin
+    clips, patch coordinates and bounds all stay OCTAVE-LOCAL
+    (bit-identical to the per-octave launch); only the DMA row address
+    adds ``yoff``.
     """
     L, Hb, Wb = blur.shape
     P = min(-(-(2 * radius + 2) // 8) * 8, 104)
@@ -328,17 +344,29 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
 
     xr = jnp.round(jobs.x).astype(jnp.int32)
     yr = jnp.round(jobs.y).astype(jnp.int32)
-    y0 = jnp.clip(yr - radius, 0, Hb - WR)
-    x0 = jnp.clip(xr - radius, 0, Wb - _WC)
-    y0a = (y0 // 8) * 8
+    ones = jnp.ones_like(jobs.x)
+    if seg is None:
+        hc, wc = Hb, Wb
+        ylo, yhi, xhi = ones, ones * (H - 2.0), ones * (W - 2.0)
+        yoff = 0
+    else:
+        yoff, hc, wc, him, wim = seg
+        ylo = ones
+        yhi = him.astype(jnp.float32) - 2.0
+        xhi = wim.astype(jnp.float32) - 2.0
+    y0 = jnp.clip(yr - radius, 0, hc - WR)
+    x0 = jnp.clip(xr - radius, 0, wc - _WC)
+    y0a = (y0 // 8) * 8 + yoff          # yoff is 8-aligned: pk unchanged
     c0a = (x0 // 128) * 128
     lv = jnp.clip(jobs.level, 0, L - 1).astype(jnp.int32)
-    pk = ((y0 - y0a) * 256 + (x0 - c0a)).astype(jnp.int32)
+    pk = ((y0 - (y0 // 8) * 8) * 256 + (x0 - c0a)).astype(jnp.int32)
+    zeros = jnp.zeros_like(jobs.x)
     params = jnp.stack([
         jobs.x, jobs.y, jobs.sigma, jobs.ang,
         y0.astype(jnp.float32), x0.astype(jnp.float32),
-        jobs.valid.astype(jnp.float32),
-        jnp.zeros_like(jobs.x)], axis=1)
+        jobs.valid.astype(jnp.float32), zeros,
+        ylo, yhi, xhi,
+        zeros, zeros, zeros, zeros, zeros], axis=1)
     if pad:
         lv, y0a, c0a, pk = (jnp.pad(a, (0, pad))
                             for a in (lv, y0a, c0a, pk))
@@ -346,13 +374,14 @@ def descriptor_loop_pallas_dma(blur, jobs, radius, H, W,
     nv = jobs.count.astype(jnp.int32).reshape(1)
     out = _desc_dma_call(nv, lv, y0a.astype(jnp.int32),
                          c0a.astype(jnp.int32), pk, params, blur,
-                         P, PL, H, W, WR=WR, interpret=interpret)
+                         P, PL, WR=WR, interpret=interpret)
     # [b, (ty, tx)] -> (ty, tx, b) flat 128
     out = out.reshape(-1, DESC_BINS, 4, 4).transpose(0, 2, 3, 1)
     return out.reshape(-1, 128)[:F]
 
 
 def descriptor_loop_pallas_multibucket(blur, jobs, buckets, H, W,
+                                       seg=None,
                                        interpret: bool = False):
     """Sigma-bucketed descriptor extraction over N kernel instances.
 
@@ -384,15 +413,20 @@ def descriptor_loop_pallas_multibucket(blur, jobs, buckets, H, W,
         n = jnp.sum(mask, dtype=jnp.int32)
         idx = first_set_indices(mask, F)
         sel = lambda a: a[idx]
+        bsel = (None if seg is None
+                else tuple(sel(b) for b in seg))
         return DescriptorJobs(
             x=sel(jobs.x), y=sel(jobs.y), sigma=sel(jobs.sigma),
             level=sel(jobs.level), ang=sel(jobs.ang),
             kp_index=sel(jobs.kp_index),
-            valid=jnp.arange(F, dtype=jnp.int32) < n, count=n)
+            valid=jnp.arange(F, dtype=jnp.int32) < n, count=n), bsel
 
-    outs = [descriptor_loop_pallas_dma(blur, bucket(m), rad, H, W,
-                                       interpret=interpret)
-            for m, (_, rad) in zip(masks, buckets)]
+    outs = []
+    for m, (_, rad) in zip(masks, buckets):
+        bj, bb = bucket(m)
+        outs.append(descriptor_loop_pallas_dma(blur, bj, rad, H, W,
+                                               seg=bb,
+                                               interpret=interpret))
     # gather back to original row order (ranks within each bucket)
     src = jnp.zeros((F,), jnp.int32)
     for i, m in enumerate(masks):

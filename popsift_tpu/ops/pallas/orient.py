@@ -35,11 +35,14 @@ _PL = 128   # patch cols
 
 
 def _ori_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
-                blur_hbm, out_ref, scratch, sems, *, H, W, P=_P,
+                blur_hbm, out_ref, scratch, sems, *, P=_P,
                 WR=_WR):
-    """par_ref f32[G, 8]: (x, y, sigma, valid, y0, x0, xr, yr).
-    nv_ref: i32[1] count of front-packed candidate rows — blocks fully
-    past it skip DMA and math."""
+    """par_ref f32[G, 16]: (x, y, sigma, valid, y0, x0, xr, yr,
+    ylo, yhi, xhi, 0...). Bounds are PER JOB so one launch can serve
+    many octave segments stacked in a canvas atlas (each row's
+    in-image test is ylo <= yy <= yhi, 1 <= xx <= xhi in canvas
+    coords). nv_ref: i32[1] count of front-packed candidate rows —
+    blocks fully past it skip DMA and math."""
     G = _G
     PL = _PL
     i = pl.program_id(0)
@@ -76,11 +79,11 @@ def _ori_kernel(nv_ref, lv_ref, ya_ref, ca_ref, pk_ref, par_ref,
     @pl.when(active(i))
     def _():
         _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
-                  P=P, PL=PL, H=H, W=W, WR=WR)
+                  P=P, PL=PL, WR=WR)
 
 
 def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
-              *, P, PL, H, W, WR=_WR):
+              *, P, PL, WR=_WR):
     G = _G
     patches = []
     for g in range(G):
@@ -120,9 +123,12 @@ def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
     xr = par[:, 6][:, None, None]
     yr = par[:, 7][:, None, None]
 
+    ylo = par[:, 8][:, None, None]
+    yhi = par[:, 9][:, None, None]
+    xhi = par[:, 10][:, None, None]
     inb = ((jnp.abs(xx - xr) <= rad) & (jnp.abs(yy - yr) <= rad)
-           & (xx >= 1.0) & (xx <= W - 2.0)
-           & (yy >= 1.0) & (yy <= H - 2.0))
+           & (xx >= 1.0) & (xx <= xhi)
+           & (yy >= ylo) & (yy <= yhi))
     fdx = xx - par[:, 0][:, None, None]
     fdy = yy - par[:, 1][:, None, None]
     sq = jnp.floor(fdx * fdx + fdy * fdy)
@@ -143,18 +149,17 @@ def _ori_math(i, slot, dma, pk_ref, par_ref, out_ref, scratch,
         out_ref[g, :] = jnp.stack(h)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "P", "WR",
-                                             "interpret"))
-def _ori_call(nv, lv, ya, ca, pk, params, blur, H, W, P=_P, WR=_WR,
+@functools.partial(jax.jit, static_argnames=("P", "WR", "interpret"))
+def _ori_call(nv, lv, ya, ca, pk, params, blur, P=_P, WR=_WR,
               interpret=False):
     F = params.shape[0]
     grid = (F // _G,)
-    kernel = functools.partial(_ori_kernel, H=H, W=W, P=P, WR=WR)
+    kernel = functools.partial(_ori_kernel, P=P, WR=WR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_G, 8), lambda i, *s: (i, 0),
+            pl.BlockSpec((_G, 16), lambda i, *s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -176,12 +181,21 @@ def _ori_call(nv, lv, ya, ca, pk, params, blur, H, W, P=_P, WR=_WR,
 
 
 def orientation_hist_pallas(blur, ext, radius: int, H, W,
-                            interpret: bool = False):
+                            seg=None, interpret: bool = False):
     """Raw 36-bin orientation histograms for the padded extrema buffer.
 
     blur: f32[L, Hb, Wb] edge-padded so aligned 64x256 windows fit
     (caller pads, see ops.orientation). radius: max window radius
-    (must be <= 26 so the 56-row/128-col patch covers radius+1)."""
+    (must be <= 26 so the 56-row/128-col patch covers radius+1).
+
+    ``seg=(yoff, hcan, wcan, him, wim)`` (per-row i32/f32 arrays) runs
+    the octave-atlas form: ``blur`` is the stacked atlas and each row's
+    octave segment starts at atlas row ``yoff`` (a multiple of 8) with
+    canvas dims (hcan, wcan) and image dims (him, wim). The window
+    origin clip, the patch-coordinate math and the in-image bounds all
+    stay in OCTAVE-LOCAL coordinates (bit-identical to the per-octave
+    launch — atlas-absolute math would shift f32 rounding); only the
+    DMA row address adds ``yoff``."""
     L, Hb, Wb = blur.shape
     K = ext.x.shape[0]
     pad = (-K) % _G
@@ -192,24 +206,37 @@ def orientation_hist_pallas(blur, ext, radius: int, H, W,
 
     xr = jnp.round(ext.x).astype(jnp.int32)
     yr = jnp.round(ext.y).astype(jnp.int32)
-    y0 = jnp.clip(yr - (radius + 1), 0, Hb - WR)
-    x0 = jnp.clip(xr - (radius + 1), 0, Wb - _WC)
-    y0a = (y0 // 8) * 8
+    ones = jnp.ones_like(ext.x)
+    if seg is None:
+        hc, wc = Hb, Wb
+        ylo, yhi, xhi = ones, ones * (H - 2.0), ones * (W - 2.0)
+        yoff = 0
+    else:
+        yoff, hc, wc, him, wim = seg
+        ylo = ones
+        yhi = him.astype(jnp.float32) - 2.0
+        xhi = wim.astype(jnp.float32) - 2.0
+    y0 = jnp.clip(yr - (radius + 1), 0, hc - WR)
+    x0 = jnp.clip(xr - (radius + 1), 0, wc - _WC)
+    y0a = (y0 // 8) * 8 + yoff          # yoff is 8-aligned: pk unchanged
     c0a = (x0 // 128) * 128
     lv = jnp.clip(ext.level, 0, L - 1).astype(jnp.int32)
-    pk = ((y0 - y0a) * 256 + (x0 - c0a)).astype(jnp.int32)
+    pk = ((y0 - (y0 // 8) * 8) * 256 + (x0 - c0a)).astype(jnp.int32)
+    zeros = jnp.zeros_like(ext.x)
     params = jnp.stack([
         ext.x, ext.y, ext.sigma,
         ext.valid.astype(jnp.float32),
         y0.astype(jnp.float32), x0.astype(jnp.float32),
-        xr.astype(jnp.float32), yr.astype(jnp.float32)], axis=1)
+        xr.astype(jnp.float32), yr.astype(jnp.float32),
+        ylo, yhi, xhi,
+        zeros, zeros, zeros, zeros, zeros], axis=1)
     if pad:
         lv, y0a, c0a, pk = (jnp.pad(a, (0, pad))
                             for a in (lv, y0a, c0a, pk))
         params = jnp.pad(params, ((0, pad), (0, 0)))
     nv = ext.n_candidates.astype(jnp.int32).reshape(1)
     out = _ori_call(nv, lv, y0a.astype(jnp.int32),
-                    c0a.astype(jnp.int32), pk, params, blur, H, W,
+                    c0a.astype(jnp.int32), pk, params, blur,
                     P=P, WR=WR, interpret=interpret)
     return out[:K]
 
@@ -222,7 +249,7 @@ def ori_pallas_available() -> bool:
 
 
 def orientation_hist_pallas_bucketed(blur, ext, radius, sigma_split,
-                                     radius_small, H, W,
+                                     radius_small, H, W, seg=None,
                                      interpret: bool = False):
     """Radius-bucketed orientation histograms: rows with
     sigma <= sigma_split (the bulk — low pyramid levels) run through a
@@ -240,17 +267,21 @@ def orientation_hist_pallas_bucketed(blur, ext, radius, sigma_split,
         n = jnp.sum(mask, dtype=jnp.int32)
         idx = first_set_indices(mask, K)
         sel = lambda a: a[idx]
+        bsel = (None if seg is None
+                else tuple(sel(b) for b in seg))
         return ext._replace(
             x=sel(ext.x), y=sel(ext.y), s=sel(ext.s),
             level=sel(ext.level), sigma=sel(ext.sigma),
             cell=sel(ext.cell),
             valid=jnp.arange(K, dtype=jnp.int32) < n,
-            n_candidates=n)
+            n_candidates=n), bsel
 
-    h_s = orientation_hist_pallas(blur, bucket(small), radius_small,
-                                  H, W, interpret=interpret)
-    h_l = orientation_hist_pallas(blur, bucket(large), radius,
-                                  H, W, interpret=interpret)
+    ext_s, b_s = bucket(small)
+    ext_l, b_l = bucket(large)
+    h_s = orientation_hist_pallas(blur, ext_s, radius_small,
+                                  H, W, seg=b_s, interpret=interpret)
+    h_l = orientation_hist_pallas(blur, ext_l, radius,
+                                  H, W, seg=b_l, interpret=interpret)
     rs = jnp.cumsum(small.astype(jnp.int32)) - 1
     rl = jnp.cumsum(large.astype(jnp.int32)) - 1
     src = jnp.where(small, rs, K + rl)

@@ -621,6 +621,28 @@ def canvas_direct_enabled() -> bool:
     return os.environ.get("POPSIFT_TPU_CANVAS_DIRECT", "0") == "1"
 
 
+def gauss_atlas_layout(dims, start: int = 2):
+    """Row layout of the small-octave gauss atlas: octaves
+    ``start..n-1``'s halo-padded canvases stacked vertically in ONE
+    [L, Ha, Wa] array. Each segment keeps its own gauss_canvas_dims
+    halo (64 rows / 240 cols of zeros), so window DMAs near a segment
+    edge read that segment's zero halo exactly as they would its own
+    canvas — semantics are bit-identical; only the row origin shifts.
+
+    Why: each small octave's ori/desc kernel launch costs ~60-135 us
+    of fixed overhead against microseconds of real work (round-5
+    trace: the four 256-job _ori_calls each bill 135 us/frame). One
+    launch over the atlas serves them all; the kernels take PER-JOB
+    in-image bounds (params slots 8-10) to keep each segment's border
+    tests exact.
+
+    Returns (row_offsets[n-start], atlas_rows, atlas_width)."""
+    hs = [gauss_canvas_dims(*d)[0] for d in dims[start:]]
+    ws = [gauss_canvas_dims(*d)[1] for d in dims[start:]]
+    offs = np.concatenate([[0], np.cumsum(hs)]).astype(int)
+    return offs[:-1], int(offs[-1]), int(max(ws))
+
+
 def assemble_gauss_canvas(levels, H: int, W: int) -> jnp.ndarray:
     Hg, Wg = gauss_canvas_dims(H, W)
     canvas = jnp.zeros((len(levels), Hg, Wg), jnp.float32)

@@ -168,17 +168,50 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                                   assemble_gauss_canvas,
                                   build_pyramid_canvases,
                                   build_pyramid_octaves,
-                                  canvas_direct_enabled)
+                                  canvas_direct_enabled,
+                                  gauss_atlas_layout)
         # non-loop descriptor variants read the dense stack in XLA
         need_stack = cfg.desc_mode != "loop"
+        # opt-in: octaves >= A0 share ONE vertically-stacked gauss
+        # atlas so the ori/desc kernels launch once for all of them
+        # (gauss_atlas_layout). OFF by default: the round-5 on-chip A/B
+        # (scripts/ab_atlas.py: atlas 14.75/14.68 vs per-octave
+        # 14.28/14.28 ms/frame, counts identical) measured the saved
+        # per-launch overhead (~135 us x ~12 small launches) MORE than
+        # given back by the atlas assembly (no pad-trick fusion for the
+        # zero canvas + wider-row DUS writes). Kept as the
+        # fewer-launches option for octave-rich configs.
+        import os
+        A0 = 2
+        use_atlas = (not need_stack) and len(dims) > A0 + 1 \
+            and os.environ.get("POPSIFT_TPU_ATLAS", "0") == "1"
+        atlas = None
+        if use_atlas:
+            arow, Ha, Wa = gauss_atlas_layout(dims, A0)
         if not need_stack and canvas_direct_enabled():
             # canvas-only storage: no standalone per-level arrays
             gaussc, dogc = build_pyramid_canvases(img_u8, plan.pyramid)
             blurs = [None] * len(dims)
+            use_atlas = False
         else:
             octs = build_pyramid_octaves(img_u8, plan.pyramid)
-            gaussc = [assemble_gauss_canvas(lv, *dims[o])
-                      for o, (lv, _) in enumerate(octs)]
+            if use_atlas:
+                L = cfg.total_levels
+                atlas = jnp.zeros((L, Ha, Wa), jnp.float32)
+                gaussc = []
+                for o, (lv, _) in enumerate(octs):
+                    if o < A0:
+                        gaussc.append(assemble_gauss_canvas(
+                            lv, *dims[o]))
+                    else:
+                        for l, lvl in enumerate(lv):
+                            atlas = jax.lax.dynamic_update_slice(
+                                atlas, lvl[None],
+                                (l, int(arow[o - A0]), 0))
+                        gaussc.append(None)
+            else:
+                gaussc = [assemble_gauss_canvas(lv, *dims[o])
+                          for o, (lv, _) in enumerate(octs)]
             dogc = [assemble_dog_canvas(dg, *dims[o])
                     for o, (_, dg) in enumerate(octs)]
             blurs = [jnp.stack(lv) if need_stack else None
@@ -203,6 +236,7 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                      for o in range(len(caps))]
     else:
         fused_refine = False
+        use_atlas = False
         blurs, dogs = build_pyramid(img_u8, plan.pyramid)
         if _stage == "front":
             return blurs, dogs
@@ -267,16 +301,42 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
                   if share_pad else None
                   for o, blur in enumerate(blurs)]
 
+    if use_atlas:
+        # per-row atlas segment geometry for octaves >= A0: the kernels
+        # keep ALL math in octave-local coordinates (bit-identical to
+        # per-octave launches); only the DMA row address adds yoff
+        from .ops.pyramid import gauss_canvas_dims
+
+        def _seg_arrays(row_counts):
+            cols = [[], [], [], [], []]
+            for o in range(A0, len(caps)):
+                n = row_counts[o]
+                hg, wg = gauss_canvas_dims(*dims[o])
+                for c, v in zip(cols, (arow[o - A0], hg, wg,
+                                       dims[o][0], dims[o][1])):
+                    c.append(np.full(n, v, np.int32))
+            return tuple(jnp.asarray(np.concatenate(c)) for c in cols)
+
     hists = []
-    for octv, blur in enumerate(blurs):
+    n_per_oct = A0 if use_atlas else len(blurs)
+    for octv in range(n_per_oct):
         ext_o = g._replace(
             x=oct_slice(g.x, octv), y=oct_slice(g.y, octv),
             s=oct_slice(g.s, octv), level=oct_slice(g.level, octv),
             sigma=oct_slice(g.sigma, octv), cell=oct_slice(g.cell, octv),
             valid=oct_slice(gvalid, octv))
-        hists.append(orientation_histograms(blur, ext_o, cfg,
+        hists.append(orientation_histograms(blurs[octv], ext_o, cfg,
                                             padded=padded[octv],
                                             dims=dims[octv]))
+    if use_atlas:
+        asl = slice(int(offs[A0]), int(offs[-1]))
+        ext_a = g._replace(
+            x=g.x[asl], y=g.y[asl], s=g.s[asl],
+            level=g.level[asl], sigma=g.sigma[asl], cell=g.cell[asl],
+            valid=gvalid[asl])
+        hists.append(orientation_histograms(None, ext_a, cfg,
+                                            padded=atlas, dims=(Ha, Wa),
+                                            seg=_seg_arrays(caps)))
     oris = orientations_from_histograms(cat(hists), gvalid,
                                         smoothing=cfg.ori_smoothing)
     if _stage == "orient":
@@ -295,19 +355,33 @@ def extract(img_u8: jnp.ndarray, plan: ExtractPlan,
     jobs_off = np.concatenate([[0], np.cumsum(plan.job_caps)]).astype(int)
 
     raw_descs, job_kps, job_valids = [], [], []
-    for octv, blur in enumerate(blurs):
+    for octv in range(n_per_oct):
         jsl = slice(int(jobs_off[octv]), int(jobs_off[octv + 1]))
         jobs = DescriptorJobs(
             x=jobs_all.x[jsl], y=jobs_all.y[jsl],
             sigma=jobs_all.sigma[jsl], level=jobs_all.level[jsl],
             ang=jobs_all.ang[jsl], kp_index=jobs_all.kp_index[jsl],
             valid=jobs_all.valid[jsl], count=counts[octv])
-        raw_descs.append(compute_descriptors(blur, jobs, cfg,
+        raw_descs.append(compute_descriptors(blurs[octv], jobs, cfg,
                                              chunk=desc_chunk,
                                              padded=padded[octv],
                                              dims=dims[octv]))
-        job_kps.append(jobs.kp_index + offs[octv])
-        job_valids.append(jobs.valid)
+    if use_atlas:
+        jsl = slice(int(jobs_off[A0]), int(jobs_off[-1]))
+        jobs_a = DescriptorJobs(
+            x=jobs_all.x[jsl], y=jobs_all.y[jsl],
+            sigma=jobs_all.sigma[jsl], level=jobs_all.level[jsl],
+            ang=jobs_all.ang[jsl], kp_index=jobs_all.kp_index[jsl],
+            valid=jobs_all.valid[jsl],
+            count=jnp.int32(int(jobs_off[-1]) - int(jobs_off[A0])))
+        raw_descs.append(compute_descriptors(None, jobs_a, cfg,
+                                             chunk=desc_chunk,
+                                             padded=atlas, dims=(Ha, Wa),
+                                             seg=_seg_arrays(plan.job_caps)))
+    for octv in range(len(caps)):
+        jsl = slice(int(jobs_off[octv]), int(jobs_off[octv + 1]))
+        job_kps.append(jobs_all.kp_index[jsl] + offs[octv])
+        job_valids.append(jobs_all.valid[jsl])
 
     desc_valid = cat(job_valids)
     desc = normalize_descriptors(cat(raw_descs), cfg)
@@ -385,6 +459,15 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
         return jax.vmap(
             lambda im: extract(im, plan, desc_chunk=desc_chunk))(imgs_u8)
 
+    # octaves >= A0 share one stacked gauss atlas (see extract)
+    import os
+    from .ops.pyramid import gauss_atlas_layout, gauss_canvas_dims
+    A0 = 2
+    use_atlas = len(plan.pyramid.dims) > A0 + 1 \
+        and os.environ.get("POPSIFT_TPU_ATLAS", "0") == "1"
+    if use_atlas:
+        arow, Ha, Wa = gauss_atlas_layout(plan.pyramid.dims, A0)
+
     from .ops.extrema import (CandidateSet, collect_candidates_batched,
                               refine_candidates)
     from .ops.pyramid import (assemble_dog_canvas, assemble_gauss_canvas,
@@ -404,12 +487,16 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
         # so no vmapped conv/interleave/transpose ever exists in the
         # program — only the layer index carries the frame.
         from .ops.pyramid import (DOG_OX, DOG_OY, build_pyramid_canvases,
-                                  canvas_direct_enabled, dog_canvas_dims,
-                                  gauss_canvas_dims)
-        gc2 = [jnp.zeros((F * L,) + gauss_canvas_dims(*dims[o]),
+                                  canvas_direct_enabled, dog_canvas_dims)
+        if canvas_direct_enabled():
+            use_atlas = False
+        gc2 = [None if (use_atlas and o >= A0) else
+               jnp.zeros((F * L,) + gauss_canvas_dims(*dims[o]),
                          jnp.float32) for o in range(len(dims))]
         dc2 = [jnp.zeros((F * (L - 1),) + dog_canvas_dims(*dims[o]),
                          jnp.float32) for o in range(len(dims))]
+        gatlas = (jnp.zeros((F * L, Ha, Wa), jnp.float32)
+                  if use_atlas else None)
         if canvas_direct_enabled():
             # canvas-only storage (see build_pyramid_canvases): each
             # frame's layers land at gbase=f*L / dbase=f*(L-1)
@@ -422,13 +509,19 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
                 octs = build_pyramid_octaves(imgs_u8[f], plan.pyramid)
                 for o, (lv, dg) in enumerate(octs):
                     for l, lvl in enumerate(lv):
-                        gc2[o] = jax.lax.dynamic_update_slice(
-                            gc2[o], lvl[None], (f * L + l, 0, 0))
+                        if use_atlas and o >= A0:
+                            gatlas = jax.lax.dynamic_update_slice(
+                                gatlas, lvl[None],
+                                (f * L + l, int(arow[o - A0]), 0))
+                        else:
+                            gc2[o] = jax.lax.dynamic_update_slice(
+                                gc2[o], lvl[None], (f * L + l, 0, 0))
                     for l, d in enumerate(dg):
                         dc2[o] = jax.lax.dynamic_update_slice(
                             dc2[o], d[None],
                             (f * (L - 1) + l, DOG_OY, DOG_OX))
     else:
+        use_atlas = False
         def front(im):
             octs = build_pyramid_octaves(im, plan.pyramid)
             gs = tuple(assemble_gauss_canvas(lv, *dims[o])
@@ -534,12 +627,42 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
             valid=oct_flat(valid, o),
             n_candidates=jnp.int32(F * caps[o]))
 
-    # phase 3a: one orientation-histogram launch set per octave
+    # phase 3a: one orientation-histogram launch set per big octave +
+    # ONE launch for the whole small-octave atlas
+    if use_atlas:
+        def _seg_arrays_b(per_oct_caps):
+            cols = [[], [], [], [], []]
+            for o in range(A0, n_oct):
+                n = F * per_oct_caps[o]
+                hg, wg = gauss_canvas_dims(*dims[o])
+                for c, v in zip(cols, (arow[o - A0], hg, wg,
+                                       dims[o][0], dims[o][1])):
+                    c.append(np.full(n, v, np.int32))
+            return tuple(jnp.asarray(np.concatenate(c)) for c in cols)
+
+        def _cat_ext(valid):
+            f = lambda a: jnp.concatenate(
+                [oct_flat(a, o) for o in range(A0, n_oct)])
+            return g._replace(
+                x=f(g.x), y=f(g.y), s=f(g.s),
+                level=f(g.level + frame_base), sigma=f(g.sigma),
+                cell=f(g.cell), valid=f(valid),
+                n_candidates=jnp.int32(F * sum(caps[A0:])))
+
     hists = []
-    for octv in range(n_oct):
+    for octv in range(A0 if use_atlas else n_oct):
         hists.append(orientation_histograms(
             None, ext_for(octv, gvalid), cfg, padded=gc2[octv],
             dims=dims[octv]))
+    if use_atlas:
+        h_at = orientation_histograms(
+            None, _cat_ext(gvalid), cfg, padded=gatlas, dims=(Ha, Wa),
+            seg=_seg_arrays_b(caps))
+        aoff = np.concatenate(
+            [[0], np.cumsum([F * caps[o]
+                             for o in range(A0, n_oct)])]).astype(int)
+        hists += [h_at[int(aoff[k]):int(aoff[k + 1])]
+                  for k in range(n_oct - A0)]
     hist = jnp.concatenate(
         [h.reshape(F, caps[o], -1) for o, h in enumerate(hists)],
         axis=1).reshape(F * Ktot, -1)
@@ -566,7 +689,7 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
         tuple(segs), level_offsets=tuple(lev_offs))
 
     raw_descs, job_kps, job_valids = [], [], []
-    for octv in range(n_oct):
+    for octv in range(A0 if use_atlas else n_oct):
         jcap = plan.job_caps[octv]
         base = int(jobs_off[octv]) * F
         jsl = slice(base, base + F * jcap)
@@ -578,8 +701,31 @@ def extract_batch(imgs_u8: jnp.ndarray, plan: ExtractPlan,
         raw = compute_descriptors(None, jobs_flat, cfg, chunk=desc_chunk,
                                   padded=gc2[octv], dims=dims[octv])
         raw_descs.append(raw.reshape(F, jcap, 128))
-        job_kps.append(jobs_flat.kp_index.reshape(F, jcap) + offs[octv])
-        job_valids.append(jobs_flat.valid.reshape(F, jcap))
+    if use_atlas:
+        base = int(jobs_off[A0]) * F
+        jsl = slice(base, int(jobs_off[-1]) * F)
+        jobs_a = DescriptorJobs(
+            x=jobs_all.x[jsl], y=jobs_all.y[jsl],
+            sigma=jobs_all.sigma[jsl], level=jobs_all.level[jsl],
+            ang=jobs_all.ang[jsl], kp_index=jobs_all.kp_index[jsl],
+            valid=jobs_all.valid[jsl],
+            count=jnp.int32(F * (int(jobs_off[-1]) - int(jobs_off[A0]))))
+        raw_a = compute_descriptors(None, jobs_a, cfg, chunk=desc_chunk,
+                                    padded=gatlas, dims=(Ha, Wa),
+                                    seg=_seg_arrays_b(plan.job_caps))
+        joff2 = 0
+        for octv in range(A0, n_oct):
+            jcap = plan.job_caps[octv]
+            raw_descs.append(
+                raw_a[joff2:joff2 + F * jcap].reshape(F, jcap, 128))
+            joff2 += F * jcap
+    for octv in range(n_oct):
+        jcap = plan.job_caps[octv]
+        base = int(jobs_off[octv]) * F
+        jsl = slice(base, base + F * jcap)
+        job_kps.append(jobs_all.kp_index[jsl].reshape(F, jcap)
+                       + offs[octv])
+        job_valids.append(jobs_all.valid[jsl].reshape(F, jcap))
 
     desc_valid = jnp.concatenate(job_valids, axis=1)      # [F, Jtot]
     desc = normalize_descriptors(

@@ -122,7 +122,7 @@ class IncrementalSfM:
                  min_pnp_points: int = 8, reproj_thresh: float = 2e-4,
                  ba_every: int = 3, checkpoint_dir: str | None = None,
                  register_batch: int = 1, pnp_chunk: int = 16,
-                 local_ba_window: int = 0):
+                 local_ba_window: int = 0, ba_growth: float = 0.0):
         self.tracks = tracks
         self.rec = Reconstruction(intr=np.asarray(intr, np.float32))
         self.key = jax.random.PRNGKey(seed)
@@ -136,6 +136,14 @@ class IncrementalSfM:
         # between the (now affordable-rare) global BAs — O(N*W) total
         # BA work on long sequences instead of O(N^2)
         self.local_ba_window = int(local_ba_window)
+        # > 1: COLMAP-style geometric global-BA schedule — a full BA
+        # (10 iters) whenever the registered count grows by this factor
+        # since the last one. Frequent-enough to keep the model inside
+        # LM's quadratic basin (the round-5 1000-camera probe shows a
+        # drifted model converges only ~2.5% per 15 LM iters once bent),
+        # yet O(N) amortized: sum of geometric problem sizes ~ N/(g-1).
+        self.ba_growth = float(ba_growth)
+        self._next_global_ba = 0
         self._since_ba = 0
         self._last_rescue_nreg = -1  # registrations at the last drift rescue
 
@@ -499,7 +507,15 @@ class IncrementalSfM:
                 last = self._register_pass()
         if last is None:
             return None
-        if self._since_ba >= self.ba_every:
+        nreg = len(self.rec.registered)
+        if self.ba_growth > 1.0:
+            if nreg >= self._next_global_ba:
+                self.global_ba(iters=10)
+                self._since_ba = 0
+                self._next_global_ba = int(nreg * self.ba_growth)
+            elif self.local_ba_window > 0:
+                self.local_ba(window=self.local_ba_window)
+        elif self._since_ba >= self.ba_every:
             self.global_ba(iters=4)
             self._since_ba = 0
         elif self.local_ba_window > 0:

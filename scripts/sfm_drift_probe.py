@@ -22,7 +22,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcc")
 
 
 def main(n_cams=400, ba_every=50, register_batch=16, probe_every=50,
-         local_window=0):
+         local_window=0, ba_growth=0.0):
     from test_sfm_scale import INTR, make_sequence, tracks_from_vis
 
     import popsift_tpu.sfm.incremental as inc
@@ -43,7 +43,8 @@ def main(n_cams=400, ba_every=50, register_batch=16, probe_every=50,
 
     sfm = inc.IncrementalSfM(tracks, INTR, ba_every=ba_every,
                              register_batch=register_batch,
-                             local_ba_window=local_window)
+                             local_ba_window=local_window,
+                             ba_growth=ba_growth)
     sfm.initialize()
     t0 = time.perf_counter()
     last = 0
@@ -66,8 +67,18 @@ def main(n_cams=400, ba_every=50, register_batch=16, probe_every=50,
     nr, e = ate(sfm)
     print(json.dumps({"stage": "refine", "ate": round(e, 3),
                       "cost": float(costs[-1])}), flush=True)
+    # convergence curve of the low-frequency trajectory-bending modes:
+    # LM reduces them slowly (small gradient), so long sequences need
+    # deeper final BA than the default polish
+    for k in range(4):
+        costs = sfm.global_ba(iters=15, huber_delta=2.0)
+        nr, e = ate(sfm)
+        print(json.dumps({"stage": f"deep_ba_{k}", "ate": round(e, 3),
+                          "cost": float(costs[-1]),
+                          "t": round(time.perf_counter() - t0, 1)}),
+              flush=True)
 
 
 if __name__ == "__main__":
-    a = [int(x) for x in sys.argv[1:]]
+    a = [float(x) if "." in x else int(x) for x in sys.argv[1:]]
     main(*a)
