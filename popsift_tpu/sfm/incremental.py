@@ -509,10 +509,18 @@ class IncrementalSfM:
             return None
         nreg = len(self.rec.registered)
         if self.ba_growth > 1.0:
+            # geometric growth with ba_every as the MAX spacing: the
+            # round-5 1000-camera probe shows pure geometric spacing
+            # stays clean to ~500 registrations but the tail gaps
+            # (>150) let bending drift grow past LM's basin — a 10-iter
+            # BA from that state folded the model (ATE 67). Bounded
+            # spacing + local BA in between holds it.
             if nreg >= self._next_global_ba:
                 self.global_ba(iters=10)
                 self._since_ba = 0
-                self._next_global_ba = int(nreg * self.ba_growth)
+                self._next_global_ba = min(
+                    max(int(nreg * self.ba_growth), nreg + 1),
+                    nreg + max(self.ba_every, 1))
             elif self.local_ba_window > 0:
                 self.local_ba(window=self.local_ba_window)
         elif self._since_ba >= self.ba_every:

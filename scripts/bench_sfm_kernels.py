@@ -41,11 +41,31 @@ def main():
         results.append({"metric": "matmul_peak_bf16", "value": None,
                         "error": repr(e)[:120]})
 
-    # --- matching: L=R=16384 descriptors (an SfM-scale image pair) ----
+    # --- matching: L=R=16384 descriptors (an SfM-scale image pair).
+    # SIFT-like workload, not i.i.d. noise: real descriptors are
+    # low-rank (orientation-histogram structure concentrates energy in
+    # ~20-40 effective dims), which is exactly what the PCA-sketch
+    # cascade exploits — i.i.d. Gaussian data has a flat spectrum and
+    # made the recall metric meaningless (round-5: 0.07 "recall" on
+    # noise vs >=0.99 on real descriptors in tests/test_matching.py).
+    # Model: nonneg low-rank latents + noise, L2-normalized, and the
+    # right set = perturbed left set so true NNs exist.
     L = R = 16384
-    key = jax.random.PRNGKey(0)
-    dl = jax.random.normal(key, (L, 128), jnp.float32)
-    dr = jax.random.normal(jax.random.PRNGKey(1), (R, 128), jnp.float32)
+    EFF = 24
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 4)
+    A = jax.random.normal(k0, (EFF, 128), jnp.float32)
+
+    def mk(z, knoise):
+        d = jax.nn.relu(z @ A + 0.3 * jax.random.normal(
+            knoise, (z.shape[0], 128), jnp.float32))
+        return d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    zl = jax.random.normal(k1, (L, EFF), jnp.float32)
+    dl = mk(zl, k2)
+    dr = mk(zl + 0.15 * jax.random.normal(k3, (R, EFF), jnp.float32),
+            jax.random.PRNGKey(9))
+    perm = jax.random.permutation(jax.random.PRNGKey(7), R)
+    dr = dr[perm]
     vl = jnp.ones(L, bool)
     vr = jnp.ones(R, bool)
 
@@ -82,7 +102,11 @@ def main():
         "metric": "match_16k_x_16k_pruned", "value": round(dtp * 1000, 2),
         "unit": "ms", "speedup_vs_exact": round(dt / dtp, 2),
         "nn_recall_vs_exact": round(float((exact == pruned).mean()), 4),
-        "pairs_per_s": round(1.0 / dtp, 1)})
+        "pairs_per_s": round(1.0 / dtp, 1),
+        "note": "at R=16k the top_k shortlist costs more than the "
+                "saved matmul on this chip — the cascade's win is "
+                "asymptotic (matmul term drops 8x; use for larger R "
+                "or retrieval shortlists)"})
 
     # --- int8-quantized matching: native MXU int8 rate ----------------
     from popsift_tpu.ops.matching import match_descriptors_q8

@@ -87,13 +87,15 @@ def main():
     n_obs = len(np.asarray(tracks.track_id))
 
     t0 = time.perf_counter()
-    # windowed local BA after every batch + rare global BA: O(N*W)
-    # total BA work. The round-5 drift probe showed ba_every=50 with NO
-    # local BA diverges past ~150 registrations on this sequence (ATE
-    # 12+ at 400 cams, 54 at 1000); local_ba_window=25 holds ATE at
-    # 1e-3 extent with a FASTER register loop.
-    sfm = inc.IncrementalSfM(tracks, INTR, ba_every=100,
-                             register_batch=16, local_ba_window=25)
+    # windowed local BA after every batch + bounded-spacing global BA:
+    # O(N*W) + O(N^2/ba_every) total BA work. Round-5 drift probes on
+    # this sequence: ba_every=50 with NO local BA diverges past ~150
+    # registrations (ATE 54 at 1000 cams); local BA alone cannot stop
+    # global trajectory bending (ATE ~10); geometric global-BA spacing
+    # folds the model once tail gaps exceed ~150. Frequent-enough
+    # global BA keeps the model inside LM's quadratic basin.
+    sfm = inc.IncrementalSfM(tracks, INTR, ba_every=25,
+                             register_batch=8, local_ba_window=25)
     sfm.initialize()
     t_init = time.perf_counter() - t0
 
@@ -106,7 +108,7 @@ def main():
     # final polish: robust BA -> cull gross points -> retriangulate
     # (plain global_ba leaves unculled outlier tracks dominating the
     # reported cost even when the ATE gate passes)
-    costs = sfm.refine(rounds=2, ba_iters=8)
+    costs = sfm.refine(rounds=3, ba_iters=12)
     t_ba = time.perf_counter() - t0
 
     reg = sorted(sfm.rec.registered)

@@ -18,6 +18,14 @@ for seq in "${SEQS[@]}"; do
     fi
     mkdir -p "$out"
     echo "fetching $seq ..."
-    curl -fsSL "$BASE/$seq.tar.gz" | tar -xz -C "$out"
+    if command -v curl >/dev/null; then
+        curl -fsSL "$BASE/$seq.tar.gz" | tar -xz -C "$out"
+    elif command -v wget >/dev/null; then
+        wget -qO- "$BASE/$seq.tar.gz" | tar -xz -C "$out"
+    else
+        python3 -c "import sys,urllib.request;\
+sys.stdout.buffer.write(urllib.request.urlopen('$BASE/$seq.tar.gz').read())" \
+            | tar -xz -C "$out"
+    fi
 done
 echo "done: $DEST"
