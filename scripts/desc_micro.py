@@ -82,8 +82,14 @@ def main(F=3840, radius=51):
     nv = jnp.asarray([F], jnp.int32)
     zero = jnp.zeros((F,), jnp.int32)
 
+    ones = jnp.ones_like(jobs.x)
+    zerosf = jnp.zeros_like(jobs.x)
+    params = jnp.concatenate(
+        [params, jnp.stack([ones, ones * (H - 2.0), ones * (W - 2.0),
+                            zerosf, zerosf, zerosf, zerosf, zerosf],
+                           axis=1)], axis=1)
     f_fixed = jax.jit(lambda: _desc_dma_call(
-        nv, lv, zero, zero, zero, params, blur, P, PL, H, W, WR=WR))
+        nv, lv, zero, zero, zero, params, blur, P, PL, WR=WR))
     res["dma_fixed_window_ms"] = round(timeit(f_fixed) * 1e3, 3)
 
     print(json.dumps({"metric": "desc_kernel_micro",
