@@ -303,9 +303,10 @@ def test_compact_mask_reports_dropped():
     mask[:200] = True          # 128-dense first block with block_k=16
     idx, total, dropped = _compact_mask(jnp.asarray(mask), capacity=512,
                                         block_k=16)
-    # block counts come from the int8 rank maximum, which saturates at
-    # 127: a 100%-dense block under-reports its drop count by exactly 1
-    assert int(dropped) == (127 - 16) + (72 - 16)
+    # round-5: the sort-based rank compaction counts exactly (the old
+    # int8 rank-maximum form saturated at 127 and under-reported a
+    # 100%-dense block's drop count by exactly 1)
+    assert int(dropped) == (128 - 16) + (72 - 16)
     assert int(total) == 32
 
 
