@@ -13,6 +13,16 @@ checksum so the tunnel cannot short-circuit and RTT cancels.
 Run on the real TPU (ONE process at a time):
     PYTHONPATH=/root/.axon_site:. timeout 3600 \
         python scripts/stage_slope_batch.py [F] [--modes vmap,unroll]
+
+TRUST MODEL (round-4 verdict weak #5): every prefix checksums all
+carried leaves, but XLA still DCEs *differently per prefix* — a later
+prefix can compile to LESS work than an earlier one (e.g. the refine
+prefix materializes candidate patches that the full program's fused
+consumer never stores, so "refine minus cands" can come out negative).
+Prefix deltas are therefore LOWER-CONFIDENCE than either (a) the full
+program's time or (b) an XProf trace (scripts/capture_trace.py +
+analyze_trace.py), which is the source of truth for per-stage cost.
+Treat deltas below the ~1 ms RTT-variance floor as noise.
 """
 
 import json
